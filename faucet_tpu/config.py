@@ -1,0 +1,120 @@
+"""Configuration for the faucet_tpu pipeline.
+
+Mirrors the reference CLI surface (SURVEY.md §5 "Config / flag system":
+``-read_load_file``, ``-read_scan_file``, ``-size_kmer``, ``-max_read_length``,
+``-estimated_kmers``, ``-singletons``, ``-file_prefix``, ``--fastq``,
+``--paired_ends``, ``--no_cleaning``, ``-bloom_file``, ``-junctions_file``)
+as a dataclass, and adds TPU-only knobs (mesh/shard shape, batch size,
+exact-membership mode, profiling).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(1, (int(n) - 1).bit_length())
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- reference-compatible surface -----------------------------------
+    read_load_file: Optional[str] = None   # reads used for Bloom cascade load
+    read_scan_file: Optional[str] = None   # reads used for junction scan
+    size_kmer: int = 31                    # k (odd, <= 31 for 2-word codes)
+    max_read_length: int = 256             # static read-batch width
+    estimated_kmers: int = 1 << 22         # distinct solid k-mers estimate
+    singletons: int = 1 << 22              # distinct singleton (error) k-mers
+    file_prefix: str = "faucet_tpu_out"    # output path prefix
+    fastq: bool = False                    # input is FASTQ (else FASTA)
+    paired_ends: bool = False              # capture junction pairs from mates
+    no_cleaning: bool = False              # skip graph cleaning passes
+    bloom_file: Optional[str] = None       # resume: serialized Bloom B
+    junctions_file: Optional[str] = None   # resume: serialized junction map
+    fp_rate: float = 0.01                  # Bloom target false-positive rate
+    two_hash: bool = False                 # legacy knob: cap n_hash at 2
+
+    # ---- TPU-native knobs ----------------------------------------------
+    batch_reads: int = 4096                # reads per device batch
+    exact: bool = False                    # exact hash-set membership (golden)
+    n_shards: int = 1                      # hash-range shards (mesh axis size)
+    junction_capacity: Optional[int] = None  # open-addressing table slots
+    sink_capacity: Optional[int] = None
+    pair_capacity: Optional[int] = None
+    max_contig_len: int = 200_000          # global walk bound (bases)
+    walk_round_steps: int = 256            # frontier steps per walk round
+    tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
+    min_contig_cov: float = 2.0            # clean: drop contigs below this cov
+    profile: bool = False                  # emit jax.profiler trace
+    metrics_file: Optional[str] = None     # JSONL metrics sink
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.size_kmer % 2 == 0:
+            raise ValueError("size_kmer must be odd (canonical form requires it)")
+        if not (1 < self.size_kmer <= 31):
+            raise ValueError("size_kmer must be in (1, 31] for 2-word codes "
+                             "(k in (31, 63] arrives with 4-word codes)")
+        if self.max_read_length <= self.size_kmer:
+            raise ValueError("max_read_length must exceed size_kmer")
+
+    # ---- derived sizes --------------------------------------------------
+    @property
+    def k(self) -> int:
+        return self.size_kmer
+
+    @property
+    def positions_per_read(self) -> int:
+        return self.max_read_length - self.size_kmer + 1
+
+    @property
+    def n_hash(self) -> int:
+        """Optimal Bloom hash count for fp_rate, reference-style sizing."""
+        if self.two_hash:
+            return 2
+        return max(1, round(-math.log2(self.fp_rate)))
+
+    def bloom_bits(self, n_items: int) -> int:
+        """Bits for an n_items Bloom at fp_rate; rounded to a power of two
+        so that modular reduction is a mask (TPU-friendly)."""
+        bits = int(-n_items * math.log(self.fp_rate) / (math.log(2) ** 2))
+        return _next_pow2(max(bits, 1 << 16))
+
+    @property
+    def bloom_a_bits(self) -> int:
+        return self.bloom_bits(self.estimated_kmers + self.singletons)
+
+    @property
+    def bloom_b_bits(self) -> int:
+        return self.bloom_bits(self.estimated_kmers)
+
+    @property
+    def junction_cap(self) -> int:
+        if self.junction_capacity is not None:
+            return _next_pow2(self.junction_capacity)
+        # junctions are a small fraction of solid k-mers; over-provision 2x
+        # headroom at 0.5 load factor.
+        return _next_pow2(max(1 << 12, self.estimated_kmers // 8))
+
+    @property
+    def sink_cap(self) -> int:
+        if self.sink_capacity is not None:
+            return _next_pow2(self.sink_capacity)
+        return _next_pow2(max(1 << 10, self.estimated_kmers // 32))
+
+    @property
+    def pair_cap(self) -> int:
+        if self.pair_capacity is not None:
+            return _next_pow2(self.pair_capacity)
+        return _next_pow2(max(1 << 10, self.estimated_kmers // 16))
+
+    # ---- (de)serialization ---------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls(**json.loads(s))

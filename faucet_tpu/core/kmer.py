@@ -1,0 +1,206 @@
+"""K-mer codec: 2-bit packing, rolling codes, canonical form, extensions.
+
+Reference analogue: ref:src/Kmer.{h,cpp} + ref:src/ReadKmer.{h,cpp}
+(SURVEY.md §2.1, [C:high]) — `codeSeed`, `revcomp`, canonical helpers and
+the double-strand read walker. The TPU re-design replaces the per-read
+sequential iterator with one batched `lax.scan` over the position axis that
+emits forward and reverse-complement codes for *every* window of *every*
+read in a [B, P] tensor at once (SURVEY.md §7.1.1: dataflow, not
+pointer-chasing).
+
+Conventions (fixed here, per SURVEY.md §A.1):
+- alphabet code A=0, C=1, G=2, T=3; complement(b) = 3 - b; code 4 = N/pad.
+- forward code of window x[0..k-1] packs x[0] in the most-significant 2 bits.
+- canonical(x) = min(code(x), code(revcomp(x))); k odd so never equal.
+- node slots: 0..3 = right extension of the *canonical* orientation by base
+  slot; 4..7 = left extension by base slot-4. (The reference keeps 5
+  read-orientation slots, ref:src/Junction.h [C:med]; 8 canonical slots are
+  symmetric and vectorize as one [.., 8] probe — an intentional divergence.)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faucet_tpu.core import u32x2 as u2
+from faucet_tpu.core.hashing import hash_pair
+
+U32 = jnp.uint32
+
+# ---- host-side string <-> code helpers ---------------------------------
+
+_BASE_TO_CODE = np.full(256, 4, dtype=np.uint8)
+for _b, _c in zip(b"ACGT", range(4)):
+    _BASE_TO_CODE[_b] = _c
+for _b, _c in zip(b"acgt", range(4)):
+    _BASE_TO_CODE[_b] = _c
+_CODE_TO_BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """DNA string -> uint8 codes (N and anything non-ACGT -> 4)."""
+    return _BASE_TO_CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+def decode_seq(codes) -> str:
+    return _CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
+
+
+def revcomp_seq(seq: str) -> str:
+    c = encode_seq(seq)[::-1]
+    return decode_seq(np.where(c < 4, 3 - c, c))
+
+
+def pack_reads(seqs, max_len: int):
+    """List of read strings -> (bases uint8[B, max_len], lens int32[B]).
+
+    Reads longer than max_len are truncated (reference bounds reads by
+    -max_read_length the same way, SURVEY.md §5).
+    """
+    B = len(seqs)
+    bases = np.full((B, max_len), 4, dtype=np.uint8)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encode_seq(s)[:max_len]
+        bases[i, : len(c)] = c
+        lens[i] = len(c)
+    return bases, lens
+
+
+def encode_kmer(s: str):
+    """k-mer string -> (hi, lo) python ints (host)."""
+    v = 0
+    for c in encode_seq(s):
+        assert c < 4, "k-mer must be ACGT only"
+        v = (v << 2) | int(c)
+    return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
+
+
+def decode_kmer(hi: int, lo: int, k: int) -> str:
+    v = (int(hi) << 32) | int(lo)
+    out = []
+    for i in range(k):
+        out.append("ACGT"[(v >> (2 * (k - 1 - i))) & 3])
+    return "".join(out)
+
+
+# ---- batched rolling kmerization ---------------------------------------
+
+
+class KmerView(NamedTuple):
+    """Per-position window codes for a read batch; all arrays [B, P]."""
+
+    fwd_hi: jnp.ndarray   # forward-orientation code of window
+    fwd_lo: jnp.ndarray
+    rc_hi: jnp.ndarray    # reverse-complement code of window
+    rc_lo: jnp.ndarray
+    canon_hi: jnp.ndarray
+    canon_lo: jnp.ndarray
+    canon_is_fwd: jnp.ndarray  # bool: canonical == forward orientation
+    valid: jnp.ndarray         # bool: window inside read and ACGT-only
+
+
+def kmerize(bases: jnp.ndarray, lens: jnp.ndarray, k: int) -> KmerView:
+    """All k-windows of a read batch in one scan.
+
+    bases: uint8[B, L] (codes 0..3, 4=N/pad); lens: int32[B].
+    Returns KmerView with P = L - k + 1 positions (window start index).
+    """
+    B, L = bases.shape
+    P = L - k + 1
+    assert P >= 1
+    top = 2 * (k - 1)
+
+    def step(carry, inputs):
+        fhi, flo, rhi, rlo, nok = carry
+        b = inputs
+        is_ok = b < 4
+        bb = jnp.where(is_ok, b, 0).astype(U32)
+        fhi, flo = u2.shl2(fhi, flo)
+        fhi, flo = u2.or_base_low(fhi, flo, bb)
+        fhi, flo = u2.mask_bits(fhi, flo, 2 * k)
+        rhi, rlo = u2.shr2(rhi, rlo)
+        rhi, rlo = u2.or_base_at(rhi, rlo, np.uint32(3) - bb, top)
+        nok = jnp.where(is_ok, nok + 1, 0)
+        carry = (fhi, flo, rhi, rlo, nok)
+        return carry, carry
+
+    z = jnp.zeros((B,), dtype=U32)
+    init = (z, z, z, z, jnp.zeros((B,), dtype=jnp.int32))
+    _, (fhi, flo, rhi, rlo, nok) = jax.lax.scan(
+        step, init, bases.T.astype(U32))
+
+    # window starting at p ends at j = p + k - 1; take scan outputs [k-1:].
+    def pos_view(a):  # [L, B] -> [B, P]
+        return a[k - 1 :].T
+
+    fhi, flo, rhi, rlo, nok = map(pos_view, (fhi, flo, rhi, rlo, nok))
+    ends = jnp.arange(k - 1, L, dtype=jnp.int32)[None, :]  # [1, P]
+    valid = (nok >= k) & (ends < lens[:, None])
+
+    canon_is_fwd = u2.le(fhi, flo, rhi, rlo)
+    chi, clo = u2.select(canon_is_fwd, fhi, flo, rhi, rlo)
+    return KmerView(fhi, flo, rhi, rlo, chi, clo, canon_is_fwd, valid)
+
+
+# ---- extensions --------------------------------------------------------
+
+
+def right_ext(fhi, flo, rhi, rlo, b, k: int):
+    """Append base b on the right of the (fwd, rc) frame; returns the new
+    (fwd, rc) pair codes. b may be a traced array broadcastable to fhi."""
+    top = 2 * (k - 1)
+    b = jnp.asarray(b).astype(U32)
+    efh, efl = u2.shl2(fhi, flo)
+    efh, efl = u2.or_base_low(efh, efl, b)
+    efh, efl = u2.mask_bits(efh, efl, 2 * k)
+    erh, erl = u2.shr2(rhi, rlo)
+    erh, erl = u2.or_base_at(erh, erl, np.uint32(3) - b, top)
+    return efh, efl, erh, erl
+
+
+def left_ext(fhi, flo, rhi, rlo, c, k: int):
+    """Prepend base c on the left of the (fwd, rc) frame."""
+    top = 2 * (k - 1)
+    c = jnp.asarray(c).astype(U32)
+    efh, efl = u2.shr2(fhi, flo)
+    efh, efl = u2.or_base_at(efh, efl, c, top)
+    erh, erl = u2.shl2(rhi, rlo)
+    erh, erl = u2.or_base_low(erh, erl, np.uint32(3) - c)
+    erh, erl = u2.mask_bits(erh, erl, 2 * k)
+    return efh, efl, erh, erl
+
+
+def canon_of(fhi, flo, rhi, rlo):
+    is_fwd = u2.le(fhi, flo, rhi, rlo)
+    chi, clo = u2.select(is_fwd, fhi, flo, rhi, rlo)
+    return chi, clo, is_fwd
+
+
+def slot_ext_hashes(canon_hi, canon_lo, other_hi, other_lo, k: int):
+    """Hashes of the 8 slot-extension k-mers of each node.
+
+    canon = canonical code, other = code of its reverse complement.
+    Returns (h1, h2) each [..., 8]: slots 0..3 right-ext by base, 4..7
+    left-ext by base-4. This is the dense 8-way junction probe of
+    SURVEY.md §3.2 re-cast as pure elementwise tensor ops.
+    """
+    h1s, h2s = [], []
+    for b in range(4):
+        fh, fl, rh, rl = right_ext(canon_hi, canon_lo, other_hi, other_lo,
+                                   np.uint32(b), k)
+        chi, clo, _ = canon_of(fh, fl, rh, rl)
+        h1, h2 = hash_pair(chi, clo)
+        h1s.append(h1)
+        h2s.append(h2)
+    for c in range(4):
+        fh, fl, rh, rl = left_ext(canon_hi, canon_lo, other_hi, other_lo,
+                                  np.uint32(c), k)
+        chi, clo, _ = canon_of(fh, fl, rh, rl)
+        h1, h2 = hash_pair(chi, clo)
+        h1s.append(h1)
+        h2s.append(h2)
+    return jnp.stack(h1s, axis=-1), jnp.stack(h2s, axis=-1)
