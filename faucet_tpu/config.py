@@ -19,7 +19,7 @@ def _next_pow2(n: int) -> int:
     return 1 << max(1, (int(n) - 1).bit_length())
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Config:
     # ---- reference-compatible surface -----------------------------------
     read_load_file: Optional[str] = None   # reads used for Bloom cascade load
@@ -47,7 +47,9 @@ class Config:
     max_contig_len: int = 200_000          # global walk bound (bases)
     walk_round_steps: int = 256            # frontier steps per walk round
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
-    min_contig_cov: float = 2.0            # clean: drop contigs below this cov
+    min_contig_cov: float = 2.5            # clean: drop contigs below this cov
+    #   (default sits above the cov==2 islands that doubled sequencing
+    #    errors create, below any real path at >=3x depth)
     profile: bool = False                  # emit jax.profiler trace
     metrics_file: Optional[str] = None     # JSONL metrics sink
     seed: int = 0

@@ -1,0 +1,166 @@
+"""Bloom filters and the two-level solidity cascade, plus an exact-table
+backend with identical call surface.
+
+Reference analogue: ref:src/Bloom.{h,cpp} and the A→B cascade wired in the
+driver (SURVEY.md §2.1 "Bloom filter" / "Two-level cascade policy",
+[C:high]); the exact backend mirrors the Minia-lineage exact-membership
+debug substitute [C:low] and is the golden-test mode (SURVEY.md §7.1.6).
+
+TPU re-design (SURVEY.md §7.1.2 "no atomics needed"):
+- the filter is a uint32 bit-array in HBM; insertion must be bitwise-OR,
+  which XLA scatters lack — so inserts run as: flatten all probe bit
+  positions, sort, drop duplicates, segment-sum the (distinct!) one-hot
+  bit values per word (sum of distinct bits == OR), then gather-OR-set
+  each touched word exactly once. Deterministic, idempotent, race-free.
+- membership probes are plain gathers + bit tests, AND-reduced over the
+  n_hash probes.
+
+Within-batch cascade semantics: a batch is one "stream moment". Exact
+sequential equivalence with the reference's per-read insert is preserved
+by counting duplicate canonical k-mers inside the batch: a k-mer occurring
+c>=2 times in a batch is solid regardless of filter A (its first
+occurrence would have primed A for the second).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faucet_tpu.core import table as T
+from faucet_tpu.core.hashing import hash_pair
+
+U32 = jnp.uint32
+_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+# ---- plain Bloom filter ------------------------------------------------
+
+
+class Bloom(NamedTuple):
+    words: jnp.ndarray  # uint32[2**log2_bits / 32]
+
+
+def make_bloom(log2_bits: int) -> Bloom:
+    assert log2_bits >= 5
+    return Bloom(words=jnp.zeros((1 << (log2_bits - 5),), dtype=U32))
+
+
+def _positions(khi, klo, n_hash: int, log2_bits: int):
+    h1, h2 = hash_pair(khi, klo)
+    i = jnp.arange(n_hash, dtype=U32)
+    return (h1[..., None] + i * h2[..., None]) & np.uint32(
+        (1 << log2_bits) - 1)
+
+
+def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
+                 log2_bits: int) -> Bloom:
+    """OR all probe bits of the masked keys into the filter.
+
+    khi/klo/mask: 1-D [N].
+    """
+    pos = _positions(khi, klo, n_hash, log2_bits).reshape(-1)  # [N*h]
+    m = jnp.broadcast_to(mask[:, None], (mask.shape[0], n_hash)).reshape(-1)
+    pos = jnp.where(m, pos, _SENTINEL)
+    pos = jax.lax.sort(pos)
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), bool), pos[1:] != pos[:-1]]) & (pos != _SENTINEL)
+    word = pos >> np.uint32(5)
+    one = jnp.where(uniq, np.uint32(1) << (pos & np.uint32(31)),
+                    np.uint32(0))
+    # group by word: distinct bits per word sum to their OR
+    new_word = jnp.concatenate(
+        [jnp.ones((1,), bool), word[1:] != word[:-1]])
+    seg = jnp.cumsum(new_word.astype(jnp.int32)) - 1
+    n = pos.shape[0]
+    orv = jax.ops.segment_sum(one, seg, num_segments=n)
+    segword = jax.ops.segment_max(jnp.where(uniq, word, np.uint32(0)),
+                                  seg, num_segments=n)
+    seg_live = jax.ops.segment_max(uniq.astype(jnp.int32), seg,
+                                   num_segments=n) > 0
+    idx = jnp.where(seg_live, segword, b.words.shape[0])
+    cur = b.words.at[jnp.where(seg_live, segword, 0)].get(mode="clip")
+    return Bloom(words=b.words.at[idx].set(cur | orv, mode="drop"))
+
+
+def bloom_contains(b: Bloom, khi, klo, mask, n_hash: int, log2_bits: int):
+    pos = _positions(khi, klo, n_hash, log2_bits)
+    w = b.words[pos >> np.uint32(5)]
+    bit = (w >> (pos & np.uint32(31))) & np.uint32(1)
+    return jnp.all(bit == 1, axis=-1) & mask
+
+
+# ---- solidity cascade (two Blooms, or two exact tables) ----------------
+
+
+class Cascade(NamedTuple):
+    """Filter A (seen >= 1) and filter B (solid, seen >= 2)."""
+    a_bloom: Bloom
+    b_bloom: Bloom
+    a_table: T.Table
+    b_table: T.Table
+
+
+def make_cascade(cfg) -> Cascade:
+    if cfg.exact:
+        from faucet_tpu.config import _next_pow2
+
+        cap_a = _next_pow2(2 * (cfg.estimated_kmers + cfg.singletons))
+        cap_b = _next_pow2(2 * cfg.estimated_kmers)
+        return Cascade(make_bloom(5), make_bloom(5),
+                       T.make(cap_a), T.make(cap_b))
+    return Cascade(make_bloom(cfg.bloom_a_bits.bit_length() - 1),
+                   make_bloom(cfg.bloom_b_bits.bit_length() - 1),
+                   T.make(2), T.make(2))
+
+
+def _batch_counts(khi, klo, mask):
+    """Sorted batch keys + per-representative occurrence count."""
+    n = khi.shape[0]
+    khi_m = jnp.where(mask, khi, _SENTINEL)
+    klo_m = jnp.where(mask, klo, _SENTINEL)
+    skhi, sklo = jax.lax.sort((khi_m, klo_m), num_keys=2)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg,
+                                 num_segments=n)[seg]
+    rep = head & (skhi != _SENTINEL)
+    return skhi, sklo, counts, rep
+
+
+def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
+    """Phase-1 load: if A contains k: B.add(k) else A.add(k), batched
+    (SURVEY.md §A.2), preserving sequential semantics via in-batch counts.
+    """
+    skhi, sklo, counts, rep = _batch_counts(khi, klo, mask)
+    if cfg.exact:
+        in_a = T.contains(c.a_table, skhi, sklo, rep)
+        add_b = rep & (in_a | (counts >= 2))
+        add_a = rep & ~in_a
+        return c._replace(
+            a_table=T.upsert(c.a_table, skhi, sklo, (), add_a, modes=()),
+            b_table=T.upsert(c.b_table, skhi, sklo, (), add_b, modes=()))
+    la = cfg.bloom_a_bits.bit_length() - 1
+    lb = cfg.bloom_b_bits.bit_length() - 1
+    nh = cfg.n_hash
+    in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, nh, la)
+    add_b = rep & (in_a | (counts >= 2))
+    add_a = rep & ~in_a
+    return c._replace(
+        a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, nh, la),
+        b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, nh, lb))
+
+
+def cascade_solid(c: Cascade, khi, klo, mask, cfg):
+    """Membership in B — the only query the graph phases use."""
+    if cfg.exact:
+        shape = khi.shape
+        f = T.contains(c.b_table, khi.reshape(-1), klo.reshape(-1),
+                       jnp.asarray(mask).reshape(-1))
+        return f.reshape(shape)
+    lb = cfg.bloom_b_bits.bit_length() - 1
+    return bloom_contains(c.b_bloom, khi, klo, mask, cfg.n_hash, lb)

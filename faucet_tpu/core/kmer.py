@@ -79,6 +79,22 @@ def encode_kmer(s: str):
     return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
 
 
+def revcomp_code_np(v: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of packed 2-bit codes (host numpy).
+
+    v: uint64 array of 2k-bit codes. Complement = bitwise NOT per 2-bit
+    base (A<->T, C<->G under our encoding), then reverse base order via
+    the classic 2-bit/4-bit swap + byteswap, then right-align.
+    """
+    v = (~np.asarray(v, dtype=np.uint64))
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = ((v >> np.uint64(2)) & m2) | ((v & m2) << np.uint64(2))
+    v = ((v >> np.uint64(4)) & m4) | ((v & m4) << np.uint64(4))
+    v = v.byteswap()
+    return v >> np.uint64(64 - 2 * k)
+
+
 def decode_kmer(hi: int, lo: int, k: int) -> str:
     v = (int(hi) << 32) | int(lo)
     out = []
@@ -180,27 +196,26 @@ def canon_of(fhi, flo, rhi, rlo):
     return chi, clo, is_fwd
 
 
-def slot_ext_hashes(canon_hi, canon_lo, other_hi, other_lo, k: int):
-    """Hashes of the 8 slot-extension k-mers of each node.
+def slot_ext_pairs(canon_hi, canon_lo, other_hi, other_lo, k: int):
+    """Canonical codes of the 8 slot-extension k-mers of each node.
 
     canon = canonical code, other = code of its reverse complement.
-    Returns (h1, h2) each [..., 8]: slots 0..3 right-ext by base, 4..7
+    Returns (ehi, elo) each [..., 8]: slots 0..3 right-ext by base, 4..7
     left-ext by base-4. This is the dense 8-way junction probe of
-    SURVEY.md §3.2 re-cast as pure elementwise tensor ops.
+    SURVEY.md §3.2 re-cast as pure elementwise tensor ops; membership
+    backends hash the pairs themselves (Bloom) or look them up (exact).
     """
-    h1s, h2s = [], []
+    ehis, elos = [], []
     for b in range(4):
         fh, fl, rh, rl = right_ext(canon_hi, canon_lo, other_hi, other_lo,
                                    np.uint32(b), k)
         chi, clo, _ = canon_of(fh, fl, rh, rl)
-        h1, h2 = hash_pair(chi, clo)
-        h1s.append(h1)
-        h2s.append(h2)
+        ehis.append(chi)
+        elos.append(clo)
     for c in range(4):
         fh, fl, rh, rl = left_ext(canon_hi, canon_lo, other_hi, other_lo,
                                   np.uint32(c), k)
         chi, clo, _ = canon_of(fh, fl, rh, rl)
-        h1, h2 = hash_pair(chi, clo)
-        h1s.append(h1)
-        h2s.append(h2)
-    return jnp.stack(h1s, axis=-1), jnp.stack(h2s, axis=-1)
+        ehis.append(chi)
+        elos.append(clo)
+    return jnp.stack(ehis, axis=-1), jnp.stack(elos, axis=-1)

@@ -1,0 +1,135 @@
+"""Device frontier walk: lockstep contig reconstruction through filter B.
+
+Reference analogue: the BF path walker / contig-spawning walks of
+ref:src/JunctionMap.cpp + ref:src/ContigGraph.cpp (SURVEY.md §2.1 "BF path
+walker", §3.5 [C:med]). The reference chases one path at a time; here ALL
+walks advance in lockstep — each step is one batched 4-way solidity probe
+plus one batched junction-table lookup over the whole frontier
+(SURVEY.md §7.1.4 "graph phase as iterative frontier kernels"), with
+per-walk masks retiring finished lanes. Rounds of a static step count keep
+shapes fixed; the host loops rounds until the frontier drains.
+
+End kinds: 0 running, 1 hit junction, 2 dead end (no solid extension),
+3 circular (returned to start k-mer), 4 ambiguous (>=2 solid extensions at
+a non-junction — only reachable via Bloom false positives; treated as a
+dead end and trimmed by dist).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faucet_tpu.core import bloom as BL
+from faucet_tpu.core import kmer as KM
+from faucet_tpu.core import table as T
+from faucet_tpu.core import u32x2 as u2
+from faucet_tpu.core.slots import entry_slot
+
+I32 = jnp.int32
+
+RUNNING, END_JUNCTION, END_DEAD, END_CIRCULAR, END_AMBIG = range(5)
+
+
+class Frontier(NamedTuple):
+    fhi: jnp.ndarray   # current travel-frame forward code [W]
+    flo: jnp.ndarray
+    rhi: jnp.ndarray   # current travel-frame revcomp code
+    rlo: jnp.ndarray
+    t0hi: jnp.ndarray  # start travel-frame forward code (circle check)
+    t0lo: jnp.ndarray
+    forced: jnp.ndarray      # int32: first base to take, -1 = free choice
+    circle_ok: jnp.ndarray   # bool: detect return-to-start (sink walks);
+    #                          junction walks end at the table hit instead
+    active: jnp.ndarray      # bool
+    end_kind: jnp.ndarray    # int32
+    entry_slot: jnp.ndarray  # int32, valid when end_kind == END_JUNCTION
+    steps: jnp.ndarray       # int32 bases appended
+
+
+def make_frontier(chi, clo, rchi, rclo, dirs, forced, active,
+                  circle_ok) -> Frontier:
+    """Seeds: canonical codes + their revcomp codes; dirs 0 = travel in
+    canonical orientation, 1 = travel in revcomp orientation."""
+    fhi, flo = u2.select(dirs == 0, chi, clo, rchi, rclo)
+    rhi, rlo = u2.select(dirs == 0, rchi, rclo, chi, clo)
+    n = chi.shape[0]
+    return Frontier(
+        fhi=fhi, flo=flo, rhi=rhi, rlo=rlo, t0hi=fhi, t0lo=flo,
+        forced=jnp.asarray(forced, I32),
+        circle_ok=jnp.asarray(circle_ok, bool),
+        active=jnp.asarray(active, bool),
+        end_kind=jnp.full((n,), RUNNING, I32),
+        entry_slot=jnp.full((n,), -1, I32),
+        steps=jnp.zeros((n,), I32))
+
+
+def _top_base(fhi, flo, k: int):
+    bitpos = 2 * (k - 1)
+    if bitpos >= 32:
+        return ((fhi >> np.uint32(bitpos - 32)) & np.uint32(3)).astype(I32)
+    return ((flo >> np.uint32(bitpos)) & np.uint32(3)).astype(I32)
+
+
+def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
+               n_steps: int, cfg) -> Tuple[Frontier, jnp.ndarray]:
+    """Advance every active walk by up to n_steps bases.
+
+    Returns (frontier, bases uint8[W, n_steps]; 255 where lane inactive).
+    """
+    k = cfg.size_kmer
+
+    def step(fr: Frontier, _):
+        a = fr.active
+        # 4-way right-extension probe in travel frame
+        sols = []
+        exts = []
+        for b in range(4):
+            e = KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo,
+                             np.uint32(b), k)
+            chi, clo, _ = KM.canon_of(*e)
+            sols.append(BL.cascade_solid(cascade, chi, clo, a, cfg))
+            exts.append(e)
+        solid4 = jnp.stack(sols, axis=-1)            # [W, 4]
+        cnt = jnp.sum(solid4, axis=-1)
+        free = a & (fr.forced < 0)
+        dead = free & (cnt == 0)
+        ambig = free & (cnt >= 2)
+        bsel = jnp.where(fr.forced >= 0, fr.forced,
+                         jnp.argmax(solid4, axis=-1).astype(I32))
+        advance = a & ~dead & ~ambig
+
+        pbase = _top_base(fr.fhi, fr.flo, k)
+        nfhi, nflo, nrhi, nrlo = KM.right_ext(
+            fr.fhi, fr.flo, fr.rhi, fr.rlo, bsel.astype(jnp.uint32), k)
+        fhi = jnp.where(advance, nfhi, fr.fhi)
+        flo = jnp.where(advance, nflo, fr.flo)
+        rhi = jnp.where(advance, nrhi, fr.rhi)
+        rlo = jnp.where(advance, nrlo, fr.rlo)
+
+        circ = advance & fr.circle_ok & (fhi == fr.t0hi) & (flo == fr.t0lo)
+        chi, clo, cisf = KM.canon_of(fhi, flo, rhi, rlo)
+        at_junc = T.lookup(junctions, chi, clo, advance & ~circ)[0]
+        eslot = entry_slot(cisf, pbase)
+
+        end_kind = fr.end_kind
+        end_kind = jnp.where(dead, END_DEAD, end_kind)
+        end_kind = jnp.where(ambig, END_AMBIG, end_kind)
+        end_kind = jnp.where(circ, END_CIRCULAR, end_kind)
+        end_kind = jnp.where(at_junc, END_JUNCTION, end_kind)
+        entry = jnp.where(at_junc, eslot, fr.entry_slot)
+        active = a & ~dead & ~ambig & ~circ & ~at_junc
+        out_base = jnp.where(advance, bsel, 255).astype(jnp.uint8)
+        new = Frontier(
+            fhi=fhi, flo=flo, rhi=rhi, rlo=rlo,
+            t0hi=fr.t0hi, t0lo=fr.t0lo,
+            forced=jnp.full_like(fr.forced, -1),
+            circle_ok=fr.circle_ok,
+            active=active, end_kind=end_kind, entry_slot=entry,
+            steps=fr.steps + advance.astype(I32))
+        return new, out_base
+
+    fr, bases = jax.lax.scan(step, fr, None, length=n_steps)
+    return fr, bases.T  # [W, n_steps]

@@ -1,0 +1,151 @@
+"""Pipeline orchestrator: the phase driver of the framework.
+
+Reference analogue: main()'s phase orchestration in ref:src/Faucet.cpp
+(SURVEY.md §3.1 [C:med]): load -> scan -> (checkpoint) -> build -> clean
+-> emit. Device phases run as jitted batch steps; the compact graph is
+extracted to host for cleaning and emission.
+
+Streaming contract: reads are consumed batch-by-batch and never stored by
+the pipeline (the caller may hand an iterator); `run_file_mode` makes two
+passes over the source like the reference's -read_load_file /
+-read_scan_file pair, `run_streaming` makes one pass, inserting then
+scanning each batch (the reference's single-pass pipe mode, §3.1 note).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faucet_tpu.config import Config
+from faucet_tpu.core import bloom as BL
+from faucet_tpu.core import scan as SC
+from faucet_tpu.core import table as T
+from faucet_tpu.core.kmer import pack_reads
+from faucet_tpu.graph.build import GraphBuilder
+from faucet_tpu.graph.clean import clean
+from faucet_tpu.graph.model import ContigGraph
+from faucet_tpu.metrics import Metrics
+
+
+def batch_iter(reads: Iterable[str], cfg: Config
+               ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Pack a read stream into fixed-shape [batch_reads, max_read_length]
+    uint8 batches (the static-shape contract XLA needs)."""
+    buf: List[str] = []
+    for r in reads:
+        buf.append(r)
+        if len(buf) == cfg.batch_reads:
+            yield pack_reads(buf, cfg.max_read_length)
+            buf = []
+    if buf:
+        buf += [""] * (cfg.batch_reads - len(buf))
+        yield pack_reads(buf, cfg.max_read_length)
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, metrics: Optional[Metrics] = None):
+        self.cfg = cfg
+        self.metrics = metrics or Metrics(cfg.metrics_file)
+        self.cascade = BL.make_cascade(cfg)
+        self.junctions = T.make(
+            cfg.junction_cap, (((8,), jnp.int32), ((8,), jnp.uint16)))
+        self.sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
+        self._load = jax.jit(SC.load_batch, static_argnames=("cfg",),
+                             donate_argnums=(0,))
+        self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
+
+    # ---- phase 1 ---------------------------------------------------------
+    def load_reads(self, reads: Iterable[str]):
+        m = self.metrics
+        m.start("load")
+        for bases, lens in batch_iter(reads, self.cfg):
+            self.load_batch(bases, lens)
+        jax.block_until_ready(self.cascade)
+        m.stop("load")
+
+    def load_batch(self, bases, lens):
+        self.cascade = self._load(self.cascade, jnp.asarray(bases),
+                                  jnp.asarray(lens), cfg=self.cfg)
+        self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
+
+    # ---- phase 2 ---------------------------------------------------------
+    def scan_reads(self, reads: Iterable[str]):
+        m = self.metrics
+        m.start("scan")
+        for bases, lens in batch_iter(reads, self.cfg):
+            self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def scan_batch(self, bases, lens):
+        res = self._scan(self.cascade, self.junctions, self.sinks,
+                         jnp.asarray(bases), jnp.asarray(lens),
+                         cfg=self.cfg)
+        self.junctions = res.junctions
+        self.sinks = res.sinks
+        self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
+        self.metrics.add("solid_windows", int(res.n_solid))
+        self.metrics.add("junction_hits", int(res.n_junc_pos))
+        return res
+
+    # ---- phases 3-5 ------------------------------------------------------
+    def build(self) -> ContigGraph:
+        m = self.metrics
+        m.start("build")
+        g = GraphBuilder(self.cfg, self.cascade, self.junctions,
+                         self.sinks).build()
+        m.stop("build")
+        m.add("junctions", int(self.junctions.count))
+        m.add("junctions_dropped", int(self.junctions.dropped))
+        m.add("sink_anchors", int(self.sinks.count))
+        m.add("contigs_raw", len(g.live()))
+        return g
+
+    def clean_graph(self, g: ContigGraph) -> ContigGraph:
+        cfg = self.cfg
+        if cfg.no_cleaning:
+            return g
+        m = self.metrics
+        m.start("clean")
+        st = clean(g,
+                   max_tip_len=int(cfg.tip_len_factor * cfg.max_read_length),
+                   min_cov=cfg.min_contig_cov)
+        m.stop("clean")
+        for k, v in st.items():
+            m.add(f"clean_{k}", v)
+        return g
+
+    # ---- end-to-end ------------------------------------------------------
+    def run_file_mode(self, load_reads: Iterable[str],
+                      scan_reads: Iterable[str]) -> ContigGraph:
+        """Two-pass mode (-read_load_file / -read_scan_file)."""
+        self.load_reads(load_reads)
+        self.scan_reads(scan_reads)
+        g = self.build()
+        g = self.clean_graph(g)
+        self.metrics.add("contigs", len(g.live()))
+        self.metrics.emit("assembly_done", stats=g.stats())
+        return g
+
+    def run_streaming(self, reads: Iterable[str]) -> ContigGraph:
+        """Single-pass stream: each batch is inserted, then scanned.
+
+        Like the reference's pipe mode, junction discovery early in the
+        stream sees a partially-filled B; later traversals of the same
+        loci repair coverage (SURVEY.md §3.1 note on interleaving).
+        """
+        m = self.metrics
+        m.start("stream")
+        for bases, lens in batch_iter(reads, self.cfg):
+            self.load_batch(bases, lens)
+            self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("stream")
+        g = self.build()
+        g = self.clean_graph(g)
+        self.metrics.add("contigs", len(g.live()))
+        self.metrics.emit("assembly_done", stats=g.stats())
+        return g
