@@ -1,0 +1,91 @@
+"""Checkpoint / resume of the post-scan stream state.
+
+Reference analogue: Bloom B and the junction map serialize after the scan
+phase and reload via -bloom_file / -junctions_file, skipping both stream
+passes (SURVEY.md §3.3, §5 "Checkpoint / resume" [C:high] — a required
+capability, not an optimization). Same contract here: two npz files (the
+membership state and the junction+sink tables) stamped with a config hash
+so a resume against different parameters fails loudly instead of
+corrupting the graph phase.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from faucet_tpu.config import Config
+from faucet_tpu.core import bloom as BL
+from faucet_tpu.core import table as T
+
+
+def _cfg_hash(cfg: Config) -> str:
+    # only semantics-affecting fields guard the checkpoint
+    keys = ("size_kmer", "estimated_kmers", "singletons", "fp_rate",
+            "two_hash", "exact")
+    d = {k: getattr(cfg, k) for k in keys}
+    return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()
+
+
+def _table_arrays(prefix: str, tbl: T.Table):
+    out = {f"{prefix}_keys_hi": np.asarray(tbl.keys_hi),
+           f"{prefix}_keys_lo": np.asarray(tbl.keys_lo),
+           f"{prefix}_count": np.asarray(tbl.count),
+           f"{prefix}_dropped": np.asarray(tbl.dropped)}
+    for i, v in enumerate(tbl.vals):
+        out[f"{prefix}_val{i}"] = np.asarray(v)
+    return out
+
+
+def _table_from(prefix: str, z, n_vals: int) -> T.Table:
+    return T.Table(
+        keys_hi=jnp.asarray(z[f"{prefix}_keys_hi"]),
+        keys_lo=jnp.asarray(z[f"{prefix}_keys_lo"]),
+        vals=tuple(jnp.asarray(z[f"{prefix}_val{i}"])
+                   for i in range(n_vals)),
+        count=jnp.asarray(z[f"{prefix}_count"]),
+        dropped=jnp.asarray(z[f"{prefix}_dropped"]))
+
+
+def save_bloom(path: str, cfg: Config, cascade: BL.Cascade):
+    np.savez_compressed(
+        path, cfg_hash=np.frombuffer(_cfg_hash(cfg).encode(), np.uint8),
+        a_words=np.asarray(cascade.a_bloom.words),
+        b_words=np.asarray(cascade.b_bloom.words),
+        **_table_arrays("at", cascade.a_table),
+        **_table_arrays("bt", cascade.b_table))
+
+
+def load_bloom(path: str, cfg: Config) -> BL.Cascade:
+    z = np.load(path)
+    _check(z, cfg, path)
+    return BL.Cascade(
+        a_bloom=BL.Bloom(jnp.asarray(z["a_words"])),
+        b_bloom=BL.Bloom(jnp.asarray(z["b_words"])),
+        a_table=_table_from("at", z, 0),
+        b_table=_table_from("bt", z, 0))
+
+
+def save_junctions(path: str, cfg: Config, junctions: T.Table,
+                   sinks: T.Table):
+    np.savez_compressed(
+        path, cfg_hash=np.frombuffer(_cfg_hash(cfg).encode(), np.uint8),
+        **_table_arrays("j", junctions), **_table_arrays("s", sinks))
+
+
+def load_junctions(path: str, cfg: Config):
+    z = np.load(path)
+    _check(z, cfg, path)
+    return _table_from("j", z, 2), _table_from("s", z, 1)
+
+
+def _check(z, cfg: Config, path: str):
+    want = _cfg_hash(cfg)
+    got = bytes(z["cfg_hash"]).decode()
+    if got != want:
+        raise ValueError(
+            f"checkpoint {path} was written with different k-mer/filter "
+            f"parameters (hash {got[:12]} != {want[:12]}); refusing to "
+            "resume")

@@ -1,0 +1,166 @@
+"""Command-line driver mirroring the reference's flag surface 1:1.
+
+Reference analogue: main()'s hand-rolled strcmp argv chain in
+ref:src/Faucet.cpp (SURVEY.md §2.1 "Driver / CLI" [C:med]; flag list §5
+"Config / flag system") — reference command lines translate mechanically.
+TPU-only knobs are double-dash-prefixed extras.
+
+Usage examples:
+  python -m faucet_tpu.cli -read_load_file reads.fa -read_scan_file reads.fa \
+      -size_kmer 31 -estimated_kmers 5000000 -singletons 5000000 \
+      -file_prefix out
+  python -m faucet_tpu.cli -bloom_file out.bloom.npz \
+      -junctions_file out.junctions.npz -size_kmer 31 -file_prefix out2
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from faucet_tpu.config import Config
+from faucet_tpu.metrics import Metrics
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="faucet_tpu",
+        description="TPU-native streaming de Bruijn assembler "
+                    "(Faucet-capability, built from scratch in JAX/Pallas)")
+    # ---- reference-compatible flags (single dash, same names) ----------
+    p.add_argument("-read_load_file", default=None,
+                   help="reads for the Bloom cascade load pass ('-'=stdin)")
+    p.add_argument("-read_scan_file", default=None,
+                   help="reads for the junction scan pass")
+    p.add_argument("-size_kmer", type=int, default=31)
+    p.add_argument("-max_read_length", type=int, default=256)
+    p.add_argument("-estimated_kmers", type=int, default=1 << 22)
+    p.add_argument("-singletons", type=int, default=1 << 22)
+    p.add_argument("-file_prefix", default="faucet_tpu_out")
+    p.add_argument("-fp_rate", type=float, default=0.01)
+    p.add_argument("-bloom_file", default=None,
+                   help="resume: membership checkpoint (skips load+scan "
+                        "when -junctions_file is also given)")
+    p.add_argument("-junctions_file", default=None,
+                   help="resume: junction/sink checkpoint")
+    p.add_argument("--fastq", action="store_true")
+    p.add_argument("--paired_ends", action="store_true",
+                   help="scan file is interleaved mate pairs; junction "
+                        "pairs feed disentanglement")
+    p.add_argument("--no_cleaning", action="store_true")
+    p.add_argument("--two_hash", action="store_true")
+    # ---- TPU-native extras ---------------------------------------------
+    p.add_argument("--exact", action="store_true",
+                   help="exact-membership mode (golden/debug)")
+    p.add_argument("--stream", action="store_true",
+                   help="single-pass mode: insert+scan each batch "
+                        "(read_scan_file ignored)")
+    p.add_argument("--batch_reads", type=int, default=4096)
+    p.add_argument("--n_shards", type=int, default=1)
+    p.add_argument("--metrics_file", default=None)
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--min_contig_cov", type=float, default=2.5)
+    p.add_argument("--tip_len_factor", type=float, default=2.0)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu); applied via "
+                        "jax.config before backend init, which works even "
+                        "when a sitecustomize pre-imported jax")
+    return p
+
+
+def config_from_args(a) -> Config:
+    return Config(
+        read_load_file=a.read_load_file, read_scan_file=a.read_scan_file,
+        size_kmer=a.size_kmer, max_read_length=a.max_read_length,
+        estimated_kmers=a.estimated_kmers, singletons=a.singletons,
+        file_prefix=a.file_prefix, fastq=a.fastq,
+        paired_ends=a.paired_ends, no_cleaning=a.no_cleaning,
+        bloom_file=a.bloom_file, junctions_file=a.junctions_file,
+        fp_rate=a.fp_rate, two_hash=a.two_hash, exact=a.exact,
+        batch_reads=a.batch_reads, n_shards=a.n_shards,
+        metrics_file=a.metrics_file, profile=a.profile,
+        min_contig_cov=a.min_contig_cov, tip_len_factor=a.tip_len_factor)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+
+    # imports deferred: --help must not pay jax startup
+    from faucet_tpu.io.fastq import read_seqs
+    from faucet_tpu.out.fasta import write_contigs
+    from faucet_tpu.out.gfa import write_gfa
+    from faucet_tpu.pipeline import Pipeline
+    from faucet_tpu.ckpt import state as CK
+
+    metrics = Metrics(cfg.metrics_file)
+    pipe = Pipeline(cfg, metrics)
+    prof = None
+    if cfg.profile:
+        import jax
+
+        prof_dir = f"{cfg.file_prefix}.trace"
+        jax.profiler.start_trace(prof_dir)
+        prof = prof_dir
+
+    resumed = False
+    if cfg.bloom_file and cfg.junctions_file:
+        pipe.cascade = CK.load_bloom(cfg.bloom_file, cfg)
+        pipe.junctions, pipe.sinks = CK.load_junctions(
+            cfg.junctions_file, cfg)
+        resumed = True
+        print(f"[faucet_tpu] resumed from {cfg.bloom_file} + "
+              f"{cfg.junctions_file}", file=sys.stderr)
+    elif cfg.bloom_file or cfg.junctions_file:
+        print("error: resume needs both -bloom_file and -junctions_file",
+              file=sys.stderr)
+        return 2
+
+    if not resumed:
+        if args.stream:
+            if not cfg.read_load_file:
+                print("error: --stream needs -read_load_file",
+                      file=sys.stderr)
+                return 2
+            g = pipe.run_streaming(read_seqs(cfg.read_load_file, cfg.fastq))
+        else:
+            if not (cfg.read_load_file and cfg.read_scan_file):
+                print("error: need -read_load_file and -read_scan_file "
+                      "(or --stream, or -bloom_file/-junctions_file)",
+                      file=sys.stderr)
+                return 2
+            pipe.load_reads(read_seqs(cfg.read_load_file, cfg.fastq))
+            if cfg.paired_ends:
+                pipe.scan_paired(read_seqs(cfg.read_scan_file, cfg.fastq))
+            else:
+                pipe.scan_reads(read_seqs(cfg.read_scan_file, cfg.fastq))
+        CK.save_bloom(f"{cfg.file_prefix}.bloom.npz", cfg, pipe.cascade)
+        CK.save_junctions(f"{cfg.file_prefix}.junctions.npz", cfg,
+                          pipe.junctions, pipe.sinks)
+        g = pipe.build()
+        g = pipe.clean_graph(g)
+        metrics.add("contigs", len(g.live()))
+        metrics.emit("assembly_done", stats=g.stats())
+    else:
+        g = pipe.build()
+        g = pipe.clean_graph(g)
+        metrics.add("contigs", len(g.live()))
+        metrics.emit("assembly_done", stats=g.stats())
+
+    write_contigs(g, f"{cfg.file_prefix}.fasta")
+    write_gfa(g, f"{cfg.file_prefix}.gfa")
+    print(f"[faucet_tpu] wrote {cfg.file_prefix}.fasta, "
+          f"{cfg.file_prefix}.gfa", file=sys.stderr)
+    if prof:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"[faucet_tpu] profile trace in {prof}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

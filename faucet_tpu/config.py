@@ -105,7 +105,10 @@ class Config:
     def sink_cap(self) -> int:
         if self.sink_capacity is not None:
             return _next_pow2(self.sink_capacity)
-        return _next_pow2(max(1 << 10, self.estimated_kmers // 32))
+        # distinct sink anchors are read-end k-mers: bounded by genome
+        # positions (~estimated_kmers), commonly a large fraction of them
+        # at high coverage — keep load factor <= 0.5 at that bound
+        return _next_pow2(max(1 << 10, self.estimated_kmers))
 
     @property
     def pair_cap(self) -> int:

@@ -54,6 +54,63 @@ def bloom_positions(h1, h2, n_hash: int, log2_bits: int):
     return pos & np.uint32((1 << log2_bits) - 1)
 
 
+def pair_key(ahi, alo, bhi, blo):
+    """Order-independent 64-bit key for a junction pair (jnp arrays).
+
+    The pair store (ref:src/JuncPairs.* [C:med], SURVEY.md §2.1) keys on
+    (kmer, kmer); here the unordered pair hash-combines into one (hi, lo)
+    key for the generic device table. Collisions are ~2^-64-scale noise on
+    disentangle evidence counts.
+    """
+    swap = (bhi < ahi) | ((bhi == ahi) & (blo < alo))
+    xhi = jnp.where(swap, bhi, ahi)
+    xlo = jnp.where(swap, blo, alo)
+    yhi = jnp.where(swap, ahi, bhi)
+    ylo = jnp.where(swap, alo, blo)
+    h1x, h2x = hash_pair(xhi, xlo)
+    h1y, h2y = hash_pair(yhi, ylo)
+    khi = fmix32(h1x + np.uint32(3) * h1y)
+    klo = fmix32(h2x ^ (h2y * np.uint32(5)))
+    # keep khi out of the table's EMPTY sentinel range
+    return khi & np.uint32(0x3FFFFFFF), klo
+
+
+def fmix32_np(x: np.ndarray) -> np.ndarray:
+    """Host numpy mirror of fmix32 (bit-identical)."""
+    x = np.asarray(x, np.uint32)
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(0x85EBCA6B)
+        x = x ^ (x >> np.uint32(13))
+        x = x * np.uint32(0xC2B2AE35)
+        x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def hash_pair_np(hi, lo):
+    """Host numpy mirror of hash_pair (bit-identical)."""
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    h1 = fmix32_np(lo ^ fmix32_np(hi ^ np.uint32(0x9E3779B9)))
+    h2 = fmix32_np(hi ^ fmix32_np(lo ^ np.uint32(0x85EBCA77))) | np.uint32(1)
+    return h1, h2
+
+
+def pair_key_np(ahi, alo, bhi, blo):
+    """Host numpy mirror of pair_key (bit-identical)."""
+    ahi, alo = np.asarray(ahi, np.uint32), np.asarray(alo, np.uint32)
+    bhi, blo = np.asarray(bhi, np.uint32), np.asarray(blo, np.uint32)
+    swap = (bhi < ahi) | ((bhi == ahi) & (blo < alo))
+    xhi, xlo = np.where(swap, bhi, ahi), np.where(swap, blo, alo)
+    yhi, ylo = np.where(swap, ahi, bhi), np.where(swap, alo, blo)
+    h1x, h2x = hash_pair_np(xhi, xlo)
+    h1y, h2y = hash_pair_np(yhi, ylo)
+    with np.errstate(over="ignore"):
+        khi = fmix32_np(h1x + np.uint32(3) * h1y)
+        klo = fmix32_np(h2x ^ (h2y * np.uint32(5)))
+    return khi & np.uint32(0x3FFFFFFF), klo
+
+
 def shard_of(h1, log2_shards: int):
     """Owner shard of a k-mer = top bits of h1 (independent of the low
     bits used for Bloom/table indexing)."""

@@ -94,21 +94,55 @@ def _row_runs(solid, is_junc):
     return tr(rs), tr(re), tr(pj), tr(nj), tr(tot), start_m, end_m
 
 
+class ScanUpdates(NamedTuple):
+    """Flat per-window update batches produced by scan_core; the local
+    pipeline upserts them into local tables, the sharded pipeline routes
+    them to owner shards first."""
+    khi: jnp.ndarray       # [B*P]
+    klo: jnp.ndarray
+    junc_mask: jnp.ndarray
+    cov8: jnp.ndarray      # [B*P, 8]
+    dist8: jnp.ndarray     # [B*P, 8] uint16
+    sink_mask: jnp.ndarray
+    sink_cov: jnp.ndarray  # [B*P]
+    jm: jnp.ndarray        # [B, P]
+    canon_hi: jnp.ndarray  # [B, P]
+    canon_lo: jnp.ndarray
+    n_solid: jnp.ndarray
+    n_junc_pos: jnp.ndarray
+
+
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                bases, lens, cfg) -> ScanResult:
+    """Single-shard scan: membership and tables are local."""
+    solid_fn = lambda khi, klo, m: BL.cascade_solid(cascade, khi, klo, m,
+                                                    cfg)
+    u = scan_core(solid_fn, bases, lens, cfg)
+    junctions = T.upsert(junctions, u.khi, u.klo, (u.cov8, u.dist8),
+                         u.junc_mask, modes=("add", "max"))
+    sinks = T.upsert(sinks, u.khi, u.klo, (u.sink_cov,), u.sink_mask,
+                     modes=("add",))
+    return ScanResult(
+        junctions=junctions, sinks=sinks, n_solid=u.n_solid,
+        n_junc_pos=u.n_junc_pos, jm=u.jm, canon_hi=u.canon_hi,
+        canon_lo=u.canon_lo)
+
+
+def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
+    """Scan with an injected solidity oracle — the same code path serves
+    the local pipeline and the hash-range-sharded one (where solid_fn
+    routes queries to owner shards, dist/sharded.py)."""
     k = cfg.size_kmer
     view = KM.kmerize(bases, lens, k)
     B, P = view.canon_hi.shape
 
-    solid = BL.cascade_solid(cascade, view.canon_hi, view.canon_lo,
-                             view.valid, cfg)
+    solid = solid_fn(view.canon_hi, view.canon_lo, view.valid)
     other_hi, other_lo = u2.select(view.canon_is_fwd, view.rc_hi,
                                    view.rc_lo, view.fwd_hi, view.fwd_lo)
     ehi, elo = KM.slot_ext_pairs(view.canon_hi, view.canon_lo,
                                  other_hi, other_lo, k)
-    ext_solid = BL.cascade_solid(
-        cascade, ehi, elo, jnp.broadcast_to(solid[..., None], ehi.shape),
-        cfg)
+    ext_solid = solid_fn(
+        ehi, elo, jnp.broadcast_to(solid[..., None], ehi.shape))
     right_deg = jnp.sum(ext_solid[..., 0:4], axis=-1)
     left_deg = jnp.sum(ext_solid[..., 4:8], axis=-1)
     is_junc = solid & ((right_deg >= 2) | (left_deg >= 2))
@@ -134,21 +168,65 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
     dist8 = jnp.maximum(ex_oh * ex_dist[..., None],
                         en_oh * en_dist[..., None]).astype(jnp.uint16)
 
-    flat = lambda a: a.reshape((B * P,) + a.shape[2:])
-    junctions = T.upsert(junctions, flat(view.canon_hi),
-                         flat(view.canon_lo), (flat(cov8), flat(dist8)),
-                         flat(is_junc), modes=("add", "max"))
-
     sink_pos = solid & (tot == 0) & (start_m | end_m)
     sink_cov = (start_m.astype(I32) + end_m.astype(I32))
-    sinks = T.upsert(sinks, flat(view.canon_hi), flat(view.canon_lo),
-                     (flat(sink_cov),), flat(sink_pos), modes=("add",))
 
-    return ScanResult(
-        junctions=junctions, sinks=sinks,
+    flat = lambda a: a.reshape((B * P,) + a.shape[2:])
+    return ScanUpdates(
+        khi=flat(view.canon_hi), klo=flat(view.canon_lo),
+        junc_mask=flat(is_junc), cov8=flat(cov8), dist8=flat(dist8),
+        sink_mask=flat(sink_pos), sink_cov=flat(sink_cov),
+        jm=is_junc, canon_hi=view.canon_hi, canon_lo=view.canon_lo,
         n_solid=jnp.sum(solid, dtype=I32),
-        n_junc_pos=jnp.sum(is_junc, dtype=I32),
-        jm=is_junc, canon_hi=view.canon_hi, canon_lo=view.canon_lo)
+        n_junc_pos=jnp.sum(is_junc, dtype=I32))
+
+
+J_MAX = 32  # junction k-mers retained per mate for pair capture
+
+
+def _row_junctions(jm, chi, clo):
+    """First J_MAX distinct junction canon codes per row.
+
+    Returns (hi, lo, valid) each [B, J_MAX].
+    """
+    B, P = jm.shape
+    pos = jnp.arange(P, dtype=I32)[None, :]
+    key = jnp.where(jm, pos, P + 1)
+    _, take = jax.lax.top_k(-key, min(J_MAX, P))  # earliest positions
+    take_valid = jnp.take_along_axis(key, take, axis=1) <= P
+    hi = jnp.take_along_axis(chi, take, axis=1)
+    lo = jnp.take_along_axis(clo, take, axis=1)
+    # dedupe within the row: sort by code, mask repeats
+    hi_m = jnp.where(take_valid, hi, np.uint32(0xFFFFFFFF))
+    lo_m = jnp.where(take_valid, lo, np.uint32(0xFFFFFFFF))
+    shi, slo = jax.lax.sort((hi_m, lo_m), num_keys=2, dimension=1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (shi[:, 1:] != shi[:, :-1]) | (slo[:, 1:] != slo[:, :-1])], axis=1)
+    valid = first & (shi != np.uint32(0xFFFFFFFF))
+    return shi, slo, valid
+
+
+def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult
+                  ) -> T.Table:
+    """Record junction co-occurrences across mate pairs (SURVEY.md §3.4).
+
+    res1/res2 are the ScanResults of the two mate batches (row-aligned).
+    Cross product of each row's distinct junction sets, keyed by the
+    order-independent pair hash, counted in the pair table.
+    """
+    from faucet_tpu.core.hashing import pair_key
+
+    ahi, alo, av = _row_junctions(res1.jm, res1.canon_hi, res1.canon_lo)
+    bhi, blo, bv = _row_junctions(res2.jm, res2.canon_hi, res2.canon_lo)
+    # [B, J, J] cross product
+    khi, klo = pair_key(ahi[:, :, None], alo[:, :, None],
+                        bhi[:, None, :], blo[:, None, :])
+    mask = av[:, :, None] & bv[:, None, :]
+    n = khi.size
+    return T.upsert(pairs, khi.reshape(n), klo.reshape(n),
+                    (jnp.ones((n,), I32),), mask.reshape(n),
+                    modes=("add",))
 
 
 def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:

@@ -77,29 +77,203 @@ def collapse_all(g: ContigGraph) -> int:
     return merged
 
 
+def disentangle(g: ContigGraph, pair_count, min_pairs: int = 2,
+                cross_max: int = 0) -> int:
+    """Split 2-in/2-out repeat nodes whose paired-end evidence supports a
+    unique in->out matching (SURVEY.md §A.7e, §3.4; reference analogue
+    ContigGraph::disentangle, ref:src/ContigGraph.cpp [C:med]).
+
+    pair_count: callable (nodeA_kmer_str, nodeB_kmer_str) -> observed
+    mate-pair co-occurrence count. Evidence nodes are the far-end
+    junctions of the four incident contigs.
+    """
+    resolved = 0
+    for node in list(g.ports):
+        d = g.ports.get(node)
+        if not d or len(d) != 4:
+            continue
+        rs = sorted(s for s in d if s < 4)
+        ls = sorted(s for s in d if s >= 4)
+        if len(rs) != 2 or len(ls) != 2:
+            continue
+        if len({d[s][0] for s in rs + ls}) != 4:
+            continue  # loops / palindromic attachments: leave alone
+
+        def far(s):
+            idx, e = d[s]
+            c = g.contigs[idx]
+            other = c.right if e == "L" else c.left
+            return None if other is None else other.node
+
+        def pc(a, b):
+            if a is None or b is None or a == node or b == node:
+                return 0
+            return pair_count(a, b)
+
+        f = {s: far(s) for s in rs + ls}
+        c11 = pc(f[ls[0]], f[rs[0]])
+        c12 = pc(f[ls[0]], f[rs[1]])
+        c21 = pc(f[ls[1]], f[rs[0]])
+        c22 = pc(f[ls[1]], f[rs[1]])
+        if (c11 >= min_pairs and c22 >= min_pairs
+                and c12 <= cross_max and c21 <= cross_max):
+            g.merge_through(node, rs[0], ls[0])
+            g.merge_through(node, rs[1], ls[1])
+            resolved += 1
+        elif (c12 >= min_pairs and c21 >= min_pairs
+                and c11 <= cross_max and c22 <= cross_max):
+            g.merge_through(node, rs[1], ls[0])
+            g.merge_through(node, rs[0], ls[1])
+            resolved += 1
+    resolved += _disentangle_chains(g, pair_count, min_pairs, cross_max)
+    return resolved
+
+
+def _disentangle_chains(g: ContigGraph, pair_count, min_pairs: int,
+                        cross_max: int) -> int:
+    """Duplicate a repeat contig R between junctions x (2 in) and y (2
+    out) when pair evidence uniquely matches the inbound and outbound
+    flanks: A-R-B / C-R-D replace {A, C, R, B, D}.
+
+    Face invariant used for splicing (graph/model.py docstring): two
+    contigs on opposite faces of a node, oriented toward each other,
+    always present the node k-mer in the same orientation — so glued
+    sequences line up without canonicalization.
+    """
+    from faucet_tpu.core.kmer import revcomp_seq
+    from faucet_tpu.graph.model import Contig
+
+    k = g.k
+    resolved = 0
+    for ridx in list(g.live()):
+        R = g.contigs[ridx]
+        if R.deleted or R.circular or R.left is None or R.right is None:
+            continue
+        x, y = R.left.node, R.right.node
+        if x == y:
+            continue
+        dx, dy = g.ports.get(x, {}), g.ports.get(y, {})
+        if len(dx) != 3 or len(dy) != 3:
+            continue
+        # x: R on one face alone, two flank ports on the other face
+        x_face = R.left.slot < 4
+        xf = [s for s in dx if (s < 4) == x_face]
+        xo = sorted(s for s in dx if (s < 4) != x_face)
+        y_face = R.right.slot < 4
+        yf = [s for s in dy if (s < 4) == y_face]
+        yo = sorted(s for s in dy if (s < 4) != y_face)
+        if len(xf) != 1 or len(xo) != 2 or len(yf) != 1 or len(yo) != 2:
+            continue
+        pa, pc_ = dx[xo[0]], dx[xo[1]]   # flank ports at x (A, C)
+        pb, pd = dy[yo[0]], dy[yo[1]]    # flank ports at y (B, D)
+        idxs = {ridx, pa[0], pc_[0], pb[0], pd[0]}
+        if len(idxs) != 5:
+            continue
+
+        def far_of(port):
+            i, e = port
+            c = g.contigs[i]
+            other = c.left if e == "R" else c.right
+            return None if other is None else other.node
+
+        def pcnt(a, b):
+            if a is None or b is None or a in (x, y) or b in (x, y):
+                return 0
+            return pair_count(a, b)
+
+        fa, fc = far_of(pa), far_of(pc_)
+        fb, fd = far_of(pb), far_of(pd)
+        ab, ad = pcnt(fa, fb), pcnt(fa, fd)
+        cb, cd = pcnt(fc, fb), pcnt(fc, fd)
+        if ab >= min_pairs and cd >= min_pairs and ad <= cross_max \
+                and cb <= cross_max:
+            matching = [(pa, pb), (pc_, pd)]
+        elif ad >= min_pairs and cb >= min_pairs and ab <= cross_max \
+                and cd <= cross_max:
+            matching = [(pa, pd), (pc_, pb)]
+        else:
+            continue
+
+        def orient_in(port):   # flank at x, oriented with x at its right
+            i, e = port
+            c = g.contigs[i]
+            seq = c.seq if e == "R" else revcomp_seq(c.seq)
+            farend = c.left if e == "R" else c.right
+            return seq, farend
+
+        def orient_out(port):  # flank at y, oriented with y at its left
+            i, e = port
+            c = g.contigs[i]
+            seq = c.seq if e == "L" else revcomp_seq(c.seq)
+            farend = c.right if e == "L" else c.left
+            return seq, farend
+
+        # orient R with x at its left end
+        r_e = dx[xf[0]][1]
+        r_seq = R.seq if r_e == "L" else revcomp_seq(R.seq)
+
+        new_contigs = []
+        ok = True
+        for pin, pout in matching:
+            a_seq, a_far = orient_in(pin)
+            b_seq, b_far = orient_out(pout)
+            if a_seq[-k:] != r_seq[:k] or r_seq[-k:] != b_seq[:k]:
+                ok = False
+                break
+            seq = a_seq + r_seq[k:] + b_seq[k:]
+            ca = g.contigs[pin[0]]
+            cb2 = g.contigs[pout[0]]
+            n_a = len(ca.seq) - k + 1
+            n_b = len(cb2.seq) - k + 1
+            n_r = len(R.seq) - k + 1
+            cov = (ca.cov * n_a + cb2.cov * n_b + R.cov * n_r) / (
+                n_a + n_b + n_r)
+            new_contigs.append(Contig(seq=seq, cov=cov, left=a_far,
+                                      right=b_far))
+        if not ok:
+            continue
+        for i in (ridx, pa[0], pc_[0], pb[0], pd[0]):
+            g.remove_contig(i)
+        for c in new_contigs:
+            g.add_contig(c)
+        resolved += 1
+    return resolved
+
+
 def clean(g: ContigGraph, max_tip_len: int = 200, min_cov: float = 2.0,
           do_tips: bool = True, do_low_cov: bool = True,
+          pair_count=None, min_pairs: int = 2,
           max_rounds: int = 64) -> dict:
-    """Iterate passes to fixpoint. Returns pass counters."""
+    """Iterate passes to fixpoint; then disentangle once with paired-end
+    evidence (if provided) and re-clean. Returns pass counters."""
     stats = {"tips": 0, "low_cov": 0, "isolated": 0, "collapsed": 0,
-             "rounds": 0}
-    for _ in range(max_rounds):
-        changed = 0
-        if do_tips:
-            n = clip_tips(g, max_tip_len)
-            stats["tips"] += n
+             "disentangled": 0, "rounds": 0}
+
+    def fixpoint():
+        for _ in range(max_rounds):
+            changed = 0
+            if do_tips:
+                n = clip_tips(g, max_tip_len)
+                stats["tips"] += n
+                changed += n
+            if do_low_cov:
+                n = drop_low_cov(g, min_cov)
+                stats["low_cov"] += n
+                changed += n
+                n = drop_short_isolated(g, min_cov)
+                stats["isolated"] += n
+                changed += n
+            n = collapse_all(g)
+            stats["collapsed"] += n
             changed += n
-        if do_low_cov:
-            n = drop_low_cov(g, min_cov)
-            stats["low_cov"] += n
-            changed += n
-            n = drop_short_isolated(g, min_cov)
-            stats["isolated"] += n
-            changed += n
-        n = collapse_all(g)
-        stats["collapsed"] += n
-        changed += n
-        stats["rounds"] += 1
-        if not changed:
-            break
+            stats["rounds"] += 1
+            if not changed:
+                break
+
+    fixpoint()
+    if pair_count is not None:
+        n = disentangle(g, pair_count, min_pairs=min_pairs)
+        stats["disentangled"] = n
+        if n:
+            fixpoint()
     return stats

@@ -122,8 +122,18 @@ class ContigGraph:
         slots = sorted(d)
         if not (slots[0] < 4 <= slots[1]):
             return False  # both ports on the same side: real branch remains
-        (i1, e1) = d[slots[0]]   # right-slot port
-        (i2, e2) = d[slots[1]]   # left-slot port
+        return self.merge_through(node, slots[0], slots[1])
+
+    def merge_through(self, node: str, rslot: int, lslot: int) -> bool:
+        """Merge the contig on right-slot `rslot` with the contig on
+        left-slot `lslot` through `node` (also the disentangle splice
+        primitive, SURVEY.md §A.7e)."""
+        d = self.ports.get(node)
+        if not d or rslot not in d or lslot not in d:
+            return False
+        assert rslot < 4 <= lslot
+        (i1, e1) = d[rslot]   # right-slot port
+        (i2, e2) = d[lslot]   # left-slot port
         k = self.k
         X = node
         c1, c2 = self.contigs[i1], self.contigs[i2]

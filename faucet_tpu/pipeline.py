@@ -53,9 +53,11 @@ class Pipeline:
         self.junctions = T.make(
             cfg.junction_cap, (((8,), jnp.int32), ((8,), jnp.uint16)))
         self.sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
+        self.pairs = T.make(cfg.pair_cap, (((), jnp.int32),))
         self._load = jax.jit(SC.load_batch, static_argnames=("cfg",),
                              donate_argnums=(0,))
         self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
+        self._pairs = jax.jit(SC.capture_pairs, donate_argnums=(0,))
 
     # ---- phase 1 ---------------------------------------------------------
     def load_reads(self, reads: Iterable[str]):
@@ -91,6 +93,42 @@ class Pipeline:
         self.metrics.add("junction_hits", int(res.n_junc_pos))
         return res
 
+    def scan_paired(self, reads: Iterable[str]):
+        """Scan an interleaved mate stream; captures junction pairs for
+        disentanglement alongside the normal junction updates."""
+        from faucet_tpu.io.fastq import deinterleave
+
+        m = self.metrics
+        m.start("scan")
+        m1, m2 = [], []
+        for a, b in deinterleave(iter(reads)):
+            m1.append(a)
+            m2.append(b)
+            if len(m1) == self.cfg.batch_reads:
+                self._scan_pair_batch(m1, m2)
+                m1, m2 = [], []
+        if m1:
+            self._scan_pair_batch(m1, m2)
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def _scan_pair_batch(self, m1: List[str], m2: List[str]):
+        pad = self.cfg.batch_reads - len(m1)
+        b1, l1 = pack_reads(m1 + [""] * pad, self.cfg.max_read_length)
+        b2, l2 = pack_reads(m2 + [""] * pad, self.cfg.max_read_length)
+        r1 = self.scan_batch(b1, l1)
+        r2 = self.scan_batch(b2, l2)
+        self.pairs = self._pairs(self.pairs, r1, r2)
+        self.metrics.add("pair_batches", 1)
+
+    def pair_counts(self):
+        """Host dict: pair-hash key -> count (consumed by disentangle)."""
+        from faucet_tpu.graph.build import extract_table
+
+        t = extract_table(self.pairs)
+        return {(int(h) << 32) | int(l): int(c)
+                for h, l, c in zip(t["hi"], t["lo"], t["v0"])}
+
     # ---- phases 3-5 ------------------------------------------------------
     def build(self) -> ContigGraph:
         m = self.metrics
@@ -101,8 +139,26 @@ class Pipeline:
         m.add("junctions", int(self.junctions.count))
         m.add("junctions_dropped", int(self.junctions.dropped))
         m.add("sink_anchors", int(self.sinks.count))
+        m.add("sinks_dropped", int(self.sinks.dropped))
         m.add("contigs_raw", len(g.live()))
         return g
+
+    def _pair_count_fn(self):
+        """Host pair-evidence lookup over node k-mer strings, or None."""
+        counts = self.pair_counts()
+        if not counts:
+            return None
+        from faucet_tpu.core.hashing import pair_key_np
+        from faucet_tpu.core.kmer import encode_kmer
+
+        def pc(a: str, b: str) -> int:
+            ah, al = encode_kmer(a)
+            bh, bl = encode_kmer(b)
+            kh, kl = pair_key_np(np.uint32(ah), np.uint32(al),
+                                 np.uint32(bh), np.uint32(bl))
+            return counts.get((int(kh) << 32) | int(kl), 0)
+
+        return pc
 
     def clean_graph(self, g: ContigGraph) -> ContigGraph:
         cfg = self.cfg
@@ -112,7 +168,9 @@ class Pipeline:
         m.start("clean")
         st = clean(g,
                    max_tip_len=int(cfg.tip_len_factor * cfg.max_read_length),
-                   min_cov=cfg.min_contig_cov)
+                   min_cov=cfg.min_contig_cov,
+                   pair_count=(self._pair_count_fn()
+                               if cfg.paired_ends else None))
         m.stop("clean")
         for k, v in st.items():
             m.add(f"clean_{k}", v)

@@ -160,6 +160,11 @@ class ExactAssembler:
         for r in reads:
             self.scan_read(r)
 
+    def pair_count(self, a: str, b: str) -> int:
+        """Pair-evidence lookup for graph/clean.py::disentangle."""
+        key = (a, b) if a <= b else (b, a)
+        return self.pairs.get(key, 0)
+
     def scan_pairs(self, mates1, mates2):
         """Paired-end junction pair capture (SURVEY.md §3.4)."""
         for r1, r2 in zip(mates1, mates2):
