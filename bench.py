@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Headline benchmark: reads/s/chip on the stream+Bloom pass.
+
+BASELINE.json metric: "reads/s/chip (stream+Bloom pass) and k-mer
+probes/s". Config-1 analogue (E. coli-scale, k=31, 50x, 100 bp reads,
+single-host Bloom) synthesized locally — no network, and the reference
+mount is empty (BASELINE.md), so `vs_baseline` is measured against this
+SAME framework pinned to ONE CPU core (the closest available stand-in
+for "single-CPU-core Faucet"; see BENCH_NOTES.md). The north-star asks
+>= 10x that baseline.
+
+Reads are synthesized ON DEVICE inside the timed jit (random genome
+windows + strand flips + substitution errors), so the measurement is the
+k-mer/Bloom/scan compute path at device speed, not the host tunnel
+(~2 s RTT per dispatch in this environment) or host parsing (the C++
+packer covers real IO separately).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CPU_BASELINE_PATH = os.path.join(REPO, "bench", "cpu_baseline.json")
+
+
+def build(cfg_kw=None):
+    from faucet_tpu.config import Config
+
+    kw = dict(size_kmer=31, max_read_length=100, batch_reads=8192,
+              estimated_kmers=2_000_000, singletons=8_000_000,
+              junction_capacity=1 << 18, sink_capacity=1 << 21,
+              fp_rate=0.01)
+    kw.update(cfg_kw or {})
+    return Config(**kw)
+
+
+def run_stream(cfg, genome_len, n_batches, seed=0):
+    """Time the streaming load+scan over n_batches synthetic batches.
+
+    Returns (reads, seconds, windows) after a warmup compile run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from faucet_tpu.core import bloom as BL
+    from faucet_tpu.core import scan as SC
+    from faucet_tpu.core import table as T
+
+    B, L = cfg.batch_reads, cfg.max_read_length
+    rng = np.random.default_rng(seed)
+    genome = jnp.asarray(rng.integers(0, 4, genome_len + L, dtype=np.uint8))
+
+    def make_batch(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        starts = jax.random.randint(k1, (B,), 0, genome_len)
+        idx = starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+        batch = genome[idx]
+        # strand flips
+        flip = jax.random.bernoulli(k2, 0.5, (B,))
+        rc = (np.uint8(3) - batch)[:, ::-1]
+        batch = jnp.where(flip[:, None], rc, batch)
+        # substitution errors at 0.5%
+        err = jax.random.bernoulli(k3, 0.005, (B, L))
+        sub = jax.random.randint(k4, (B, L), 0, 4, dtype=jnp.int32)
+        batch = jnp.where(err, sub.astype(jnp.uint8), batch)
+        lens = jnp.full((B,), L, jnp.int32)
+        return batch, lens
+
+    def step(carry, _):
+        cascade, junctions, sinks, key = carry
+        key, kb = jax.random.split(key)
+        bases, lens = make_batch(kb)
+        cascade = SC.load_batch(cascade, bases, lens, cfg)
+        res = SC.scan_batch(cascade, junctions, sinks, bases, lens, cfg)
+        return (cascade, res.junctions, res.sinks, key), res.n_solid
+
+    @jax.jit
+    def run(state):
+        state, n_solid = jax.lax.scan(step, state, None, length=n_batches)
+        return state, jnp.sum(n_solid)
+
+    def fresh_state(s):
+        cascade = BL.make_cascade(cfg)
+        junctions = T.make(cfg.junction_cap,
+                           (((8,), jnp.int32), ((8,), jnp.uint16)))
+        sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
+        return (cascade, junctions, sinks, jax.random.PRNGKey(s))
+
+    # warmup/compile
+    out = run(fresh_state(1))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out, n_solid = run(fresh_state(2))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    reads = B * n_batches
+    windows = reads * (L - cfg.size_kmer + 1)
+    return reads, dt, windows, int(n_solid)
+
+
+def cpu_baseline(args):
+    """Measure this framework pinned to 1 CPU core (subprocess target)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cfg = build(dict(batch_reads=1024, estimated_kmers=1 << 18,
+                     singletons=1 << 20, junction_capacity=1 << 14,
+                     sink_capacity=1 << 18))
+    reads, dt, windows, _ = run_stream(cfg, genome_len=200_000,
+                                       n_batches=4)
+    os.makedirs(os.path.dirname(CPU_BASELINE_PATH), exist_ok=True)
+    with open(CPU_BASELINE_PATH, "w") as f:
+        json.dump({"reads_per_s": reads / dt, "reads": reads,
+                   "seconds": dt, "pinned_core": True}, f)
+    print(f"[cpu-baseline] {reads} reads in {dt:.2f}s = "
+          f"{reads/dt:,.0f} reads/s", file=sys.stderr)
+
+
+def get_cpu_baseline():
+    if not os.path.exists(CPU_BASELINE_PATH):
+        cmd = ["taskset", "-c", "0", sys.executable, os.path.abspath(
+            __file__), "--cpu-baseline"]
+        env = dict(os.environ)
+        env["PYTHONPATH"] = env.get("PYTHONPATH", "") + os.pathsep + REPO
+        try:
+            subprocess.run(cmd, env=env, timeout=1800, check=True)
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+            return None
+    try:
+        with open(CPU_BASELINE_PATH) as f:
+            return json.load(f)["reads_per_s"]
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-baseline", action="store_true")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument("--genome", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        cpu_baseline(args)
+        return
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = build()
+    reads, dt, windows, n_solid = run_stream(cfg, args.genome,
+                                             args.batches)
+    rps = reads / dt
+    base = get_cpu_baseline()
+    vs = (rps / base) if base else -1.0
+    notes = {
+        "reads": reads, "seconds": round(dt, 4),
+        "windows": windows, "solid_windows": n_solid,
+        "kmer_probes_per_s": round(windows * (cfg.n_hash + 9) / dt),
+        "cpu_1core_reads_per_s": base,
+        "config": "E.coli-scale synthetic, k=31, 50x-equivalent stream,"
+                  " 100bp reads, single-chip Bloom cascade",
+    }
+    os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    with open(os.path.join(REPO, "bench", "last_run.json"), "w") as f:
+        json.dump(notes, f, indent=1)
+    print(json.dumps({
+        "metric": "reads_per_s_per_chip_stream_bloom_pass",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,10 @@ class Config:
     junction_capacity: Optional[int] = None  # open-addressing table slots
     sink_capacity: Optional[int] = None
     pair_capacity: Optional[int] = None
+    bloom_a_log2_override: Optional[int] = None  # exact sizes pinned by
+    bloom_b_log2_override: Optional[int] = None  # local_shard(): shard-
+    cascade_cap_a_override: Optional[int] = None  # local sizes must be
+    cascade_cap_b_override: Optional[int] = None  # exactly global/n_shards
     max_contig_len: int = 200_000          # global walk bound (bases)
     walk_round_steps: int = 256            # frontier steps per walk round
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
@@ -62,6 +66,8 @@ class Config:
                              "(k in (31, 63] arrives with 4-word codes)")
         if self.max_read_length <= self.size_kmer:
             raise ValueError("max_read_length must exceed size_kmer")
+        if self.n_shards & (self.n_shards - 1):
+            raise ValueError("n_shards must be a power of two")
 
     # ---- derived sizes --------------------------------------------------
     @property
@@ -87,11 +93,27 @@ class Config:
 
     @property
     def bloom_a_bits(self) -> int:
+        if self.bloom_a_log2_override is not None:
+            return 1 << self.bloom_a_log2_override
         return self.bloom_bits(self.estimated_kmers + self.singletons)
 
     @property
     def bloom_b_bits(self) -> int:
+        if self.bloom_b_log2_override is not None:
+            return 1 << self.bloom_b_log2_override
         return self.bloom_bits(self.estimated_kmers)
+
+    @property
+    def cascade_cap_a(self) -> int:
+        if self.cascade_cap_a_override is not None:
+            return self.cascade_cap_a_override
+        return _next_pow2(2 * (self.estimated_kmers + self.singletons))
+
+    @property
+    def cascade_cap_b(self) -> int:
+        if self.cascade_cap_b_override is not None:
+            return self.cascade_cap_b_override
+        return _next_pow2(2 * self.estimated_kmers)
 
     @property
     def junction_cap(self) -> int:
@@ -115,6 +137,32 @@ class Config:
         if self.pair_capacity is not None:
             return _next_pow2(self.pair_capacity)
         return _next_pow2(max(1 << 10, self.estimated_kmers // 16))
+
+    @property
+    def shard_bits(self) -> int:
+        """log2 of the hash-range shard count. Bloom/table addresses are
+        owner-prefixed with this many bits, so global arrays split into
+        n_shards equal hash-range-local pieces (SURVEY.md §7.1.3)."""
+        return (self.n_shards - 1).bit_length()
+
+    def local_shard(self) -> "Config":
+        """Per-shard view of this config: every capacity exactly divided
+        by n_shards, addressing unprefixed — used INSIDE shard_map where
+        each device holds its own hash-range slice. Local sizes must be
+        exact quotients so that concatenating shard-local arrays
+        reproduces the global owner-prefixed arrays bit for bit."""
+        import dataclasses as _dc
+
+        sb = self.shard_bits
+        return _dc.replace(
+            self, n_shards=1,
+            bloom_a_log2_override=self.bloom_a_bits.bit_length() - 1 - sb,
+            bloom_b_log2_override=self.bloom_b_bits.bit_length() - 1 - sb,
+            cascade_cap_a_override=self.cascade_cap_a >> sb,
+            cascade_cap_b_override=self.cascade_cap_b >> sb,
+            junction_capacity=self.junction_cap >> sb,
+            sink_capacity=self.sink_cap >> sb,
+            pair_capacity=self.pair_cap >> sb)
 
     # ---- (de)serialization ---------------------------------------------
     def to_json(self) -> str:

@@ -48,20 +48,56 @@ def make_bloom(log2_bits: int) -> Bloom:
     return Bloom(words=jnp.zeros((1 << (log2_bits - 5),), dtype=U32))
 
 
-def _positions(khi, klo, n_hash: int, log2_bits: int):
+BLOCK_BITS = 9          # 512-bit blocks = 16 words = 64 B
+BLOCK_WORDS = 1 << (BLOCK_BITS - 5)
+
+
+def _block_and_bits(khi, klo, n_hash: int, log2_bits: int,
+                    shard_bits: int = 0):
+    """Blocked-Bloom addressing: all n_hash probe bits of a key live in
+    ONE 512-bit block, so a probe is a single contiguous 64 B row gather
+    instead of n_hash scattered word gathers — the difference between
+    HBM-transaction-bound and roofline on TPU (SURVEY.md §7.1, M1; same
+    design as GPU Bloom k-mer filters, PAPERS.md cuSBF). Costs ~1.2x
+    bits for equal fp at 1% — absorbed by pow2 sizing.
+
+    The top shard_bits of the BLOCK address come from the key's owner
+    shard (top bits of h1), so the array is a hash-range partition:
+    slicing into 2**shard_bits pieces yields the per-shard local filters
+    (SURVEY.md §7.1.3).
+
+    Returns (block uint32[...], bits uint32[..., n_hash] in [0, 512)).
+    """
     h1, h2 = hash_pair(khi, klo)
+    local_block_bits = log2_bits - shard_bits - BLOCK_BITS
+    block = h1 & np.uint32((1 << local_block_bits) - 1)
+    if shard_bits:
+        owner = (h1 >> np.uint32(32 - shard_bits)).astype(U32)
+        block = block | (owner << np.uint32(local_block_bits))
     i = jnp.arange(n_hash, dtype=U32)
-    return (h1[..., None] + i * h2[..., None]) & np.uint32(
-        (1 << log2_bits) - 1)
+    # bit stream decorrelated from the block choice via h1's high half
+    h1r = (h1 >> np.uint32(16)) | (h1 << np.uint32(16))
+    bits = (h1r[..., None] + (i + np.uint32(1)) * h2[..., None]) \
+        & np.uint32((1 << BLOCK_BITS) - 1)
+    return block, bits
+
+
+def _positions(khi, klo, n_hash: int, log2_bits: int,
+               shard_bits: int = 0):
+    """Global bit positions (block << 9 | bit) — the insert path's view
+    of the blocked layout."""
+    block, bits = _block_and_bits(khi, klo, n_hash, log2_bits, shard_bits)
+    return (block[..., None] << np.uint32(BLOCK_BITS)) | bits
 
 
 def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
-                 log2_bits: int) -> Bloom:
+                 log2_bits: int, shard_bits: int = 0) -> Bloom:
     """OR all probe bits of the masked keys into the filter.
 
     khi/klo/mask: 1-D [N].
     """
-    pos = _positions(khi, klo, n_hash, log2_bits).reshape(-1)  # [N*h]
+    pos = _positions(khi, klo, n_hash, log2_bits,
+                     shard_bits).reshape(-1)  # [N*h]
     m = jnp.broadcast_to(mask[:, None], (mask.shape[0], n_hash)).reshape(-1)
     pos = jnp.where(m, pos, _SENTINEL)
     pos = jax.lax.sort(pos)
@@ -85,10 +121,15 @@ def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
     return Bloom(words=b.words.at[idx].set(cur | orv, mode="drop"))
 
 
-def bloom_contains(b: Bloom, khi, klo, mask, n_hash: int, log2_bits: int):
-    pos = _positions(khi, klo, n_hash, log2_bits)
-    w = b.words[pos >> np.uint32(5)]
-    bit = (w >> (pos & np.uint32(31))) & np.uint32(1)
+def bloom_contains(b: Bloom, khi, klo, mask, n_hash: int, log2_bits: int,
+                   shard_bits: int = 0):
+    """One 64 B row gather per key, then in-register bit tests."""
+    block, bits = _block_and_bits(khi, klo, n_hash, log2_bits, shard_bits)
+    rows = b.words.reshape(-1, BLOCK_WORDS)[block.reshape(-1)]
+    rows = rows.reshape(block.shape + (BLOCK_WORDS,))
+    w = jnp.take_along_axis(rows, (bits >> np.uint32(5)).astype(jnp.int32),
+                            axis=-1)
+    bit = (w >> (bits & np.uint32(31))) & np.uint32(1)
     return jnp.all(bit == 1, axis=-1) & mask
 
 
@@ -104,16 +145,16 @@ class Cascade(NamedTuple):
 
 
 def make_cascade(cfg) -> Cascade:
+    # unused halves are dummy-sized but must stay splittable into
+    # n_shards pieces (one block each) for the sharded PartitionSpec
+    dummy_log2 = BLOCK_BITS + cfg.shard_bits
+    dummy_cap = max(2, 2 * cfg.n_shards)
     if cfg.exact:
-        from faucet_tpu.config import _next_pow2
-
-        cap_a = _next_pow2(2 * (cfg.estimated_kmers + cfg.singletons))
-        cap_b = _next_pow2(2 * cfg.estimated_kmers)
-        return Cascade(make_bloom(5), make_bloom(5),
-                       T.make(cap_a), T.make(cap_b))
+        return Cascade(make_bloom(dummy_log2), make_bloom(dummy_log2),
+                       T.make(cfg.cascade_cap_a), T.make(cfg.cascade_cap_b))
     return Cascade(make_bloom(cfg.bloom_a_bits.bit_length() - 1),
                    make_bloom(cfg.bloom_b_bits.bit_length() - 1),
-                   T.make(2), T.make(2))
+                   T.make(dummy_cap), T.make(dummy_cap))
 
 
 def _batch_counts(khi, klo, mask):
@@ -136,31 +177,35 @@ def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
     """Phase-1 load: if A contains k: B.add(k) else A.add(k), batched
     (SURVEY.md §A.2), preserving sequential semantics via in-batch counts.
     """
+    sb = cfg.shard_bits
     skhi, sklo, counts, rep = _batch_counts(khi, klo, mask)
     if cfg.exact:
-        in_a = T.contains(c.a_table, skhi, sklo, rep)
+        in_a = T.contains(c.a_table, skhi, sklo, rep, shard_bits=sb)
         add_b = rep & (in_a | (counts >= 2))
         add_a = rep & ~in_a
         return c._replace(
-            a_table=T.upsert(c.a_table, skhi, sklo, (), add_a, modes=()),
-            b_table=T.upsert(c.b_table, skhi, sklo, (), add_b, modes=()))
+            a_table=T.upsert(c.a_table, skhi, sklo, (), add_a, modes=(),
+                             shard_bits=sb),
+            b_table=T.upsert(c.b_table, skhi, sklo, (), add_b, modes=(),
+                             shard_bits=sb))
     la = cfg.bloom_a_bits.bit_length() - 1
     lb = cfg.bloom_b_bits.bit_length() - 1
     nh = cfg.n_hash
-    in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, nh, la)
+    in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, nh, la, sb)
     add_b = rep & (in_a | (counts >= 2))
     add_a = rep & ~in_a
     return c._replace(
-        a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, nh, la),
-        b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, nh, lb))
+        a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, nh, la, sb),
+        b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, nh, lb, sb))
 
 
 def cascade_solid(c: Cascade, khi, klo, mask, cfg):
     """Membership in B — the only query the graph phases use."""
+    sb = cfg.shard_bits
     if cfg.exact:
         shape = khi.shape
         f = T.contains(c.b_table, khi.reshape(-1), klo.reshape(-1),
-                       jnp.asarray(mask).reshape(-1))
+                       jnp.asarray(mask).reshape(-1), shard_bits=sb)
         return f.reshape(shape)
     lb = cfg.bloom_b_bits.bit_length() - 1
-    return bloom_contains(c.b_bloom, khi, klo, mask, cfg.n_hash, lb)
+    return bloom_contains(c.b_bloom, khi, klo, mask, cfg.n_hash, lb, sb)

@@ -119,9 +119,10 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                                                     cfg)
     u = scan_core(solid_fn, bases, lens, cfg)
     junctions = T.upsert(junctions, u.khi, u.klo, (u.cov8, u.dist8),
-                         u.junc_mask, modes=("add", "max"))
+                         u.junc_mask, modes=("add", "max"),
+                         shard_bits=cfg.shard_bits)
     sinks = T.upsert(sinks, u.khi, u.klo, (u.sink_cov,), u.sink_mask,
-                     modes=("add",))
+                     modes=("add",), shard_bits=cfg.shard_bits)
     return ScanResult(
         junctions=junctions, sinks=sinks, n_solid=u.n_solid,
         n_junc_pos=u.n_junc_pos, jm=u.jm, canon_hi=u.canon_hi,
@@ -207,8 +208,8 @@ def _row_junctions(jm, chi, clo):
     return shi, slo, valid
 
 
-def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult
-                  ) -> T.Table:
+def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult,
+                  cfg=None) -> T.Table:
     """Record junction co-occurrences across mate pairs (SURVEY.md §3.4).
 
     res1/res2 are the ScanResults of the two mate batches (row-aligned).
@@ -226,7 +227,8 @@ def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult
     n = khi.size
     return T.upsert(pairs, khi.reshape(n), klo.reshape(n),
                     (jnp.ones((n,), I32),), mask.reshape(n),
-                    modes=("add",))
+                    modes=("add",),
+                    shard_bits=0 if cfg is None else cfg.shard_bits)
 
 
 def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:

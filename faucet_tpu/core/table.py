@@ -56,8 +56,18 @@ def make(cap: int, val_specs: Tuple[Tuple[tuple, object], ...] = ()) -> Table:
     )
 
 
-def _probe_idx(h1, h2, r, cap: int):
-    return (h1 + r.astype(U32) * h2) & np.uint32(cap - 1)
+def _probe_idx(h1, h2, r, cap: int, shard_bits: int = 0):
+    """Probe slot for round r. With shard_bits > 0 the table address space
+    is partitioned by the key's owner shard (top bits of h1): probing
+    stays inside the owner's partition, so slicing the arrays into
+    2**shard_bits equal pieces yields exactly the per-shard local tables
+    (mirrors bloom._positions; SURVEY.md §7.1.3)."""
+    local_cap = cap >> shard_bits  # both static python ints
+    idx = (h1 + r.astype(U32) * h2) & np.uint32(local_cap - 1)
+    if shard_bits:
+        owner = h1 >> np.uint32(32 - shard_bits)
+        idx = idx | (owner << np.uint32(local_cap.bit_length() - 1))
+    return idx
 
 
 def _dedupe(khi, klo, vals, mask, modes):
@@ -88,7 +98,7 @@ def _dedupe(khi, klo, vals, mask, modes):
 
 
 def upsert(tbl: Table, khi, klo, vals: Tuple, mask, modes: Tuple[str, ...],
-           max_rounds: int = 128) -> Table:
+           max_rounds: int = 128, shard_bits: int = 0) -> Table:
     """Insert-or-combine a batch of keyed values. All shapes static.
 
     khi/klo: uint32[N]; vals: tuple of [N, ...]; mask: bool[N].
@@ -107,7 +117,7 @@ def upsert(tbl: Table, khi, klo, vals: Tuple, mask, modes: Tuple[str, ...],
 
     def body(state):
         (keys_hi_t, keys_lo_t), tvals, pending, r, claim, n_new = state
-        idx = _probe_idx(h1, h2, r, cap)
+        idx = _probe_idx(h1, h2, r, cap, shard_bits)
         cur_hi = keys_hi_t[idx]
         cur_lo = keys_lo_t[idx]
         is_match = pending & (cur_hi == skhi) & (cur_lo == sklo)
@@ -145,7 +155,8 @@ def upsert(tbl: Table, khi, klo, vals: Tuple, mask, modes: Tuple[str, ...],
     )
 
 
-def lookup(tbl: Table, khi, klo, mask, max_rounds: int = 128):
+def lookup(tbl: Table, khi, klo, mask, max_rounds: int = 128,
+           shard_bits: int = 0):
     """Returns (found bool[N], idx int32[N]); idx valid where found."""
     cap = tbl.capacity
     h1, h2 = hash_pair(khi, klo)
@@ -156,7 +167,7 @@ def lookup(tbl: Table, khi, klo, mask, max_rounds: int = 128):
 
     def body(state):
         pending, found, idx_out, r = state
-        idx = _probe_idx(h1, h2, r, cap)
+        idx = _probe_idx(h1, h2, r, cap, shard_bits)
         cur_hi = tbl.keys_hi[idx]
         cur_lo = tbl.keys_lo[idx]
         hit = pending & (cur_hi == khi) & (cur_lo == klo)
@@ -173,8 +184,9 @@ def lookup(tbl: Table, khi, klo, mask, max_rounds: int = 128):
     return found, idx_out
 
 
-def contains(tbl: Table, khi, klo, mask, max_rounds: int = 128):
-    found, _ = lookup(tbl, khi, klo, mask, max_rounds)
+def contains(tbl: Table, khi, klo, mask, max_rounds: int = 128,
+             shard_bits: int = 0):
+    found, _ = lookup(tbl, khi, klo, mask, max_rounds, shard_bits)
     return found
 
 

@@ -1,0 +1,283 @@
+"""Hash-range-sharded stream phases (shard_map over a 1-D device mesh).
+
+The north-star distributed design (SURVEY.md §2.2, §7.1.3): the Bloom
+cascade and junction/sink tables are partitioned by the top bits of each
+k-mer's h1 hash. Because single-device addressing is already owner-
+prefixed (core/bloom._positions, core/table._probe_idx), the global
+arrays split along axis 0 into exactly the per-shard local structures —
+`shard_map` with PartitionSpec("shard") hands every device its own
+hash-range slice, and the stream phases differ from the local ones only
+in routing:
+
+  load:  kmerize local rows -> all_to_all k-mers to owner -> local
+         cascade insert
+  scan:  solidity probes route to owner and answers route back
+         (dist/route.py round trip); junction/sink updates route to owner
+         and upsert locally
+
+Each host feeds its own batch rows (data-parallel input); the graph-build
+phase runs on the global arrays directly — they ARE the single-device
+layout — so GraphBuilder needs no sharded variant.
+
+Table counters are carried as shape-[n_shards] arrays (one lane per
+shard) so they live under the same PartitionSpec as the keyed arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from faucet_tpu.core import bloom as BL
+from faucet_tpu.core import kmer as KM
+from faucet_tpu.core import scan as SC
+from faucet_tpu.core import table as T
+from faucet_tpu.core.hashing import hash_pair
+from faucet_tpu.dist import route as R
+from faucet_tpu.dist.mesh import AXIS
+
+I32 = jnp.int32
+
+
+def _owner(khi, klo, shard_bits: int):
+    h1, _ = hash_pair(khi, klo)
+    return (h1 >> np.uint32(32 - shard_bits)).astype(I32)
+
+
+def _cap_for(n: int, n_shards: int, factor: float = 2.0) -> int:
+    """Static per-peer bucket capacity for n items over n_shards."""
+    base = -(-n // n_shards)
+    return max(64, int(base * factor))
+
+
+def vec_counters(tbl: T.Table, n_shards: int) -> T.Table:
+    """Scalar counters -> one lane per shard."""
+    return tbl._replace(
+        count=jnp.zeros((n_shards,), jnp.int32),
+        dropped=jnp.zeros((n_shards,), jnp.int32))
+
+
+def _load_local(cascade: BL.Cascade, bases, lens, *, cfg_local, n_shards,
+                shard_bits):
+    view = KM.kmerize(bases, lens, cfg_local.size_kmer)
+    khi = view.canon_hi.reshape(-1)
+    klo = view.canon_lo.reshape(-1)
+    mask = view.valid.reshape(-1)
+    owner = _owner(khi, klo, shard_bits)
+    cap = _cap_for(khi.shape[0], n_shards)
+    recv, rmask, info = R.route({"hi": khi, "lo": klo}, owner, mask,
+                                n_shards, cap)
+    cascade = BL.cascade_insert(cascade, recv["hi"], recv["lo"], rmask,
+                                cfg_local)
+    return cascade, info.dropped.reshape(1)
+
+
+def _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits, drops):
+    def solid_fn(khi, klo, mask):
+        shape = khi.shape
+        fhi = khi.reshape(-1)
+        flo = klo.reshape(-1)
+        fm = jnp.asarray(mask).reshape(-1)
+        owner = _owner(fhi, flo, shard_bits)
+        cap = _cap_for(fhi.shape[0], n_shards)
+        recv, rmask, info = R.route({"hi": fhi, "lo": flo}, owner, fm,
+                                    n_shards, cap)
+        ans = BL.cascade_solid(cascade, recv["hi"], recv["lo"], rmask,
+                               cfg_local)
+        got = R.route_back(ans.astype(jnp.int8), info, n_shards, cap)
+        drops.append(info.dropped)
+        return (got > 0).reshape(shape)
+
+    return solid_fn
+
+
+def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
+                bases, lens, *, cfg, cfg_local, n_shards, shard_bits):
+    drops = []
+    solid_fn = _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits,
+                                drops)
+    u = SC.scan_core(solid_fn, bases, lens, cfg)
+
+    owner = _owner(u.khi, u.klo, shard_bits)
+    capj = _cap_for(u.khi.shape[0], n_shards)
+    recv, rmask, info = R.route(
+        {"hi": u.khi, "lo": u.klo, "cov8": u.cov8, "dist8": u.dist8},
+        owner, u.junc_mask, n_shards, capj)
+    junctions = T.upsert(junctions, recv["hi"], recv["lo"],
+                         (recv["cov8"], recv["dist8"]), rmask,
+                         modes=("add", "max"))
+    drops.append(info.dropped)
+
+    recv, rmask, info = R.route(
+        {"hi": u.khi, "lo": u.klo, "cov": u.sink_cov}, owner,
+        u.sink_mask, n_shards, capj)
+    sinks = T.upsert(sinks, recv["hi"], recv["lo"], (recv["cov"],), rmask,
+                     modes=("add",))
+    drops.append(info.dropped)
+
+    total_drops = sum(drops).reshape(1)
+    return (junctions, sinks, u.n_solid.reshape(1),
+            u.n_junc_pos.reshape(1), u.jm, u.canon_hi, u.canon_lo,
+            total_drops)
+
+
+class ShardedStream:
+    """Jitted shard_map wrappers around the stream phases."""
+
+    def __init__(self, cfg, mesh):
+        assert cfg.n_shards == mesh.shape[AXIS]
+        self.cfg = cfg
+        self.mesh = mesh
+        self.cfg_local = cfg.local_shard()
+        S = cfg.n_shards
+        sb = cfg.shard_bits
+
+        state_spec = P(AXIS)
+        rows = P(AXIS)
+        rep = P(AXIS)  # per-shard scalar lanes
+
+        self._load = jax.jit(shard_map(
+            partial(_load_local, cfg_local=self.cfg_local, n_shards=S,
+                    shard_bits=sb),
+            mesh=mesh,
+            in_specs=(state_spec, rows, rows),
+            out_specs=(state_spec, rep),
+            check_vma=False))
+
+        self._scan = jax.jit(shard_map(
+            partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
+                    n_shards=S, shard_bits=sb),
+            mesh=mesh,
+            in_specs=(state_spec, state_spec, state_spec, rows, rows),
+            out_specs=(state_spec, state_spec, rep, rep, rows, rows,
+                       rows, rep),
+            check_vma=False))
+
+    def place_state(self, tree):
+        """Shard a state pytree's leading axes over the mesh."""
+        sh = NamedSharding(self.mesh, P(AXIS))
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), tree)
+
+    def shard_batch(self, bases, lens):
+        """Place a host batch row-sharded over the mesh."""
+        sh = NamedSharding(self.mesh, P(AXIS))
+        return (jax.device_put(bases, sh), jax.device_put(lens, sh))
+
+    def load(self, cascade, bases, lens):
+        bases, lens = self.shard_batch(bases, lens)
+        return self._load(cascade, bases, lens)
+
+    def scan(self, cascade, junctions, sinks, bases, lens):
+        bases, lens = self.shard_batch(bases, lens)
+        return self._scan(cascade, junctions, sinks, bases, lens)
+
+
+class ShardedPipeline:
+    """Multi-device pipeline: sharded stream phases + the unchanged host
+    build/clean/emit phases operating on the global arrays.
+
+    Mirrors faucet_tpu.pipeline.Pipeline's surface (load_reads,
+    scan_reads, build, clean_graph, run_file_mode).
+    """
+
+    def __init__(self, cfg, mesh, metrics=None):
+        from faucet_tpu.metrics import Metrics
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.metrics = metrics or Metrics(cfg.metrics_file)
+        S = cfg.n_shards
+        self.stream = ShardedStream(cfg, mesh)
+        self.cascade = self.stream.place_state(
+            _vec_cascade(BL.make_cascade(cfg), S))
+        self.junctions = self.stream.place_state(vec_counters(
+            T.make(cfg.junction_cap,
+                   (((8,), jnp.int32), ((8,), jnp.uint16))), S))
+        self.sinks = self.stream.place_state(vec_counters(
+            T.make(cfg.sink_cap, (((), jnp.int32),)), S))
+
+    # ---- stream phases --------------------------------------------------
+    def load_reads(self, reads):
+        from faucet_tpu.pipeline import batch_iter
+
+        m = self.metrics
+        m.start("load")
+        for bases, lens in batch_iter(reads, self.cfg):
+            self.load_batch(bases, lens)
+        jax.block_until_ready(self.cascade)
+        m.stop("load")
+
+    def load_batch(self, bases, lens):
+        self.cascade, drops = self.stream.load(self.cascade,
+                                               jnp.asarray(bases),
+                                               jnp.asarray(lens))
+        self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
+        self.metrics.add("route_dropped", int(jnp.sum(drops)))
+
+    def scan_reads(self, reads):
+        from faucet_tpu.pipeline import batch_iter
+
+        m = self.metrics
+        m.start("scan")
+        for bases, lens in batch_iter(reads, self.cfg):
+            self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def scan_batch(self, bases, lens):
+        (self.junctions, self.sinks, n_solid, n_junc, _jm, _chi, _clo,
+         drops) = self.stream.scan(self.cascade, self.junctions,
+                                   self.sinks, jnp.asarray(bases),
+                                   jnp.asarray(lens))
+        self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
+        self.metrics.add("solid_windows", int(jnp.sum(n_solid)))
+        self.metrics.add("junction_hits", int(jnp.sum(n_junc)))
+        self.metrics.add("route_dropped", int(jnp.sum(drops)))
+
+    # ---- host phases (global arrays == single-device layout) ------------
+    def build(self):
+        from faucet_tpu.graph.build import GraphBuilder
+
+        m = self.metrics
+        m.start("build")
+        g = GraphBuilder(self.cfg, self.cascade, self.junctions,
+                         self.sinks).build()
+        m.stop("build")
+        m.add("junctions", int(jnp.sum(self.junctions.count)))
+        m.add("sink_anchors", int(jnp.sum(self.sinks.count)))
+        m.add("contigs_raw", len(g.live()))
+        return g
+
+    def clean_graph(self, g):
+        from faucet_tpu.graph.clean import clean
+
+        cfg = self.cfg
+        if cfg.no_cleaning:
+            return g
+        st = clean(g,
+                   max_tip_len=int(cfg.tip_len_factor * cfg.max_read_length),
+                   min_cov=cfg.min_contig_cov)
+        for k, v in st.items():
+            self.metrics.add(f"clean_{k}", v)
+        return g
+
+    def run_file_mode(self, load_reads, scan_reads):
+        self.load_reads(load_reads)
+        self.scan_reads(scan_reads)
+        g = self.build()
+        g = self.clean_graph(g)
+        self.metrics.add("contigs", len(g.live()))
+        self.metrics.emit("assembly_done", stats=g.stats())
+        return g
+
+
+def _vec_cascade(c: BL.Cascade, n_shards: int) -> BL.Cascade:
+    return c._replace(a_table=vec_counters(c.a_table, n_shards),
+                      b_table=vec_counters(c.b_table, n_shards))

@@ -111,7 +111,8 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
 
         circ = advance & fr.circle_ok & (fhi == fr.t0hi) & (flo == fr.t0lo)
         chi, clo, cisf = KM.canon_of(fhi, flo, rhi, rlo)
-        at_junc = T.lookup(junctions, chi, clo, advance & ~circ)[0]
+        at_junc = T.lookup(junctions, chi, clo, advance & ~circ,
+                           shard_bits=cfg.shard_bits)[0]
         eslot = entry_slot(cisf, pbase)
 
         end_kind = fr.end_kind

@@ -57,7 +57,9 @@ class Pipeline:
         self._load = jax.jit(SC.load_batch, static_argnames=("cfg",),
                              donate_argnums=(0,))
         self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
-        self._pairs = jax.jit(SC.capture_pairs, donate_argnums=(0,))
+        self._pairs = jax.jit(SC.capture_pairs,
+                      static_argnames=("cfg",),
+                      donate_argnums=(0,))
 
     # ---- phase 1 ---------------------------------------------------------
     def load_reads(self, reads: Iterable[str]):
@@ -118,7 +120,7 @@ class Pipeline:
         b2, l2 = pack_reads(m2 + [""] * pad, self.cfg.max_read_length)
         r1 = self.scan_batch(b1, l1)
         r2 = self.scan_batch(b2, l2)
-        self.pairs = self._pairs(self.pairs, r1, r2)
+        self.pairs = self._pairs(self.pairs, r1, r2, cfg=self.cfg)
         self.metrics.add("pair_batches", 1)
 
     def pair_counts(self):
