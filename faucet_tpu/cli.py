@@ -15,6 +15,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from faucet_tpu.config import Config
@@ -64,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu); applied via "
                         "jax.config before backend init, which works even "
                         "when a sitecustomize pre-imported jax")
+    p.add_argument("--no_native", action="store_true",
+                   help="disable the C++ reader/packer (use pure Python)")
     return p
 
 
@@ -119,6 +122,29 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    use_native = not args.no_native and not cfg.paired_ends
+    if use_native:
+        from faucet_tpu.io import native as NV
+
+        use_native = NV.available()
+        if use_native:
+            print("[faucet_tpu] using native C++ reader", file=sys.stderr)
+
+    def batches_of(path):
+        if use_native:
+            from faucet_tpu.io import native as NV
+
+            return NV.native_batch_iter(path, cfg.fastq, cfg.batch_reads,
+                                        cfg.max_read_length)
+        from faucet_tpu.pipeline import batch_iter
+
+        return batch_iter(read_seqs(path, cfg.fastq), cfg)
+
+    for f in (cfg.read_load_file, cfg.read_scan_file):
+        if f and f != "-" and not os.path.exists(f):
+            print(f"error: input file not found: {f}", file=sys.stderr)
+            return 2
+
     if not resumed:
         if args.stream:
             if not cfg.read_load_file:
@@ -132,11 +158,11 @@ def main(argv=None) -> int:
                       "(or --stream, or -bloom_file/-junctions_file)",
                       file=sys.stderr)
                 return 2
-            pipe.load_reads(read_seqs(cfg.read_load_file, cfg.fastq))
+            pipe.load_batches(batches_of(cfg.read_load_file))
             if cfg.paired_ends:
                 pipe.scan_paired(read_seqs(cfg.read_scan_file, cfg.fastq))
             else:
-                pipe.scan_reads(read_seqs(cfg.read_scan_file, cfg.fastq))
+                pipe.scan_batches(batches_of(cfg.read_scan_file))
         CK.save_bloom(f"{cfg.file_prefix}.bloom.npz", cfg, pipe.cascade)
         CK.save_junctions(f"{cfg.file_prefix}.junctions.npz", cfg,
                           pipe.junctions, pipe.sinks)

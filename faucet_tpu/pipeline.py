@@ -63,9 +63,14 @@ class Pipeline:
 
     # ---- phase 1 ---------------------------------------------------------
     def load_reads(self, reads: Iterable[str]):
+        self.load_batches(batch_iter(reads, self.cfg))
+
+    def load_batches(self, batches):
+        """Phase 1 over an iterator of (bases, lens) packed batches (the
+        native C++ reader feeds this directly)."""
         m = self.metrics
         m.start("load")
-        for bases, lens in batch_iter(reads, self.cfg):
+        for bases, lens in batches:
             self.load_batch(bases, lens)
         jax.block_until_ready(self.cascade)
         m.stop("load")
@@ -77,9 +82,12 @@ class Pipeline:
 
     # ---- phase 2 ---------------------------------------------------------
     def scan_reads(self, reads: Iterable[str]):
+        self.scan_batches(batch_iter(reads, self.cfg))
+
+    def scan_batches(self, batches):
         m = self.metrics
         m.start("scan")
-        for bases, lens in batch_iter(reads, self.cfg):
+        for bases, lens in batches:
             self.scan_batch(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("scan")
