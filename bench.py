@@ -76,13 +76,31 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
         lens = jnp.full((B,), L, jnp.int32)
         return batch, lens
 
+    mode = os.environ.get("FAUCET_BENCH_MODE", "both")
+
     def step(carry, _):
         cascade, junctions, sinks, key = carry
         key, kb = jax.random.split(key)
         bases, lens = make_batch(kb)
-        cascade = SC.load_batch(cascade, bases, lens, cfg)
-        res = SC.scan_batch(cascade, junctions, sinks, bases, lens, cfg)
-        return (cascade, res.junctions, res.sinks, key), res.n_solid
+        n_solid = jnp.zeros((), jnp.int32)
+        if mode in ("both", "load", "loadscan"):
+            cascade = SC.load_batch(cascade, bases, lens, cfg)
+        if mode in ("both", "scan", "loadscan"):
+            res = SC.scan_batch(cascade, junctions, sinks, bases, lens,
+                                cfg)
+            junctions, sinks, n_solid = res.junctions, res.sinks, \
+                res.n_solid
+        if mode == "kmerize":
+            from faucet_tpu.core import kmer as KMM
+
+            v = KMM.kmerize(bases, lens, cfg.size_kmer)
+            n_solid = v.canon_lo.sum().astype(jnp.int32)
+        if mode == "probes":
+            u = SC.scan_core(
+                lambda h, l, m: BL.cascade_solid(cascade, h, l, m, cfg),
+                bases, lens, cfg)
+            n_solid = u.n_solid
+        return (cascade, junctions, sinks, key), n_solid
 
     @jax.jit
     def run(state):

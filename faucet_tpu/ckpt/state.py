@@ -39,7 +39,10 @@ def _table_arrays(prefix: str, tbl: T.Table):
     return out
 
 
-def _table_from(prefix: str, z, n_vals: int) -> T.Table:
+def _table_from(prefix: str, z) -> T.Table:
+    n_vals = 0
+    while f"{prefix}_val{n_vals}" in z:
+        n_vals += 1
     return T.Table(
         keys_hi=jnp.asarray(z[f"{prefix}_keys_hi"]),
         keys_lo=jnp.asarray(z[f"{prefix}_keys_lo"]),
@@ -64,8 +67,8 @@ def load_bloom(path: str, cfg: Config) -> BL.Cascade:
     return BL.Cascade(
         a_bloom=BL.Bloom(jnp.asarray(z["a_words"])),
         b_bloom=BL.Bloom(jnp.asarray(z["b_words"])),
-        a_table=_table_from("at", z, 0),
-        b_table=_table_from("bt", z, 0))
+        a_table=_table_from("at", z),
+        b_table=_table_from("bt", z))
 
 
 def save_junctions(path: str, cfg: Config, junctions: T.Table,
@@ -78,7 +81,7 @@ def save_junctions(path: str, cfg: Config, junctions: T.Table,
 def load_junctions(path: str, cfg: Config):
     z = np.load(path)
     _check(z, cfg, path)
-    return _table_from("j", z, 2), _table_from("s", z, 1)
+    return _table_from("j", z), _table_from("s", z)
 
 
 def _check(z, cfg: Config, path: str):

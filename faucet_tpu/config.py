@@ -49,6 +49,8 @@ class Config:
     cascade_cap_a_override: Optional[int] = None  # local sizes must be
     cascade_cap_b_override: Optional[int] = None  # exactly global/n_shards
     max_contig_len: int = 200_000          # global walk bound (bases)
+    scan_update_cap: int = 1 << 15         # junction/sink update lanes kept
+    #   per batch after compaction (sparse in practice; overflow counted)
     walk_round_steps: int = 256            # frontier steps per walk round
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
     min_contig_cov: float = 2.5            # clean: drop contigs below this cov
@@ -61,9 +63,10 @@ class Config:
     def __post_init__(self):
         if self.size_kmer % 2 == 0:
             raise ValueError("size_kmer must be odd (canonical form requires it)")
-        if not (1 < self.size_kmer <= 31):
-            raise ValueError("size_kmer must be in (1, 31] for 2-word codes "
-                             "(k in (31, 63] arrives with 4-word codes)")
+        if not (1 < self.size_kmer <= 63):
+            raise ValueError("size_kmer must be odd and in (1, 63]: "
+                             "2-word codes up to k=31, 4-word wide codes "
+                             "with fingerprint keys above")
         if self.max_read_length <= self.size_kmer:
             raise ValueError("max_read_length must exceed size_kmer")
         if self.n_shards & (self.n_shards - 1):
@@ -73,6 +76,11 @@ class Config:
     @property
     def k(self) -> int:
         return self.size_kmer
+
+    @property
+    def wide(self) -> bool:
+        """k > 31: 4-word codes, fingerprint table keys (core/wide.py)."""
+        return self.size_kmer > 31
 
     @property
     def positions_per_read(self) -> int:

@@ -111,14 +111,25 @@ def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
         [jnp.ones((1,), bool), word[1:] != word[:-1]])
     seg = jnp.cumsum(new_word.astype(jnp.int32)) - 1
     n = pos.shape[0]
-    orv = jax.ops.segment_sum(one, seg, num_segments=n)
+    # seg ids are sorted: lets XLA vectorize the underlying scatters
+    orv = jax.ops.segment_sum(one, seg, num_segments=n,
+                              indices_are_sorted=True)
     segword = jax.ops.segment_max(jnp.where(uniq, word, np.uint32(0)),
-                                  seg, num_segments=n)
+                                  seg, num_segments=n,
+                                  indices_are_sorted=True)
     seg_live = jax.ops.segment_max(uniq.astype(jnp.int32), seg,
-                                   num_segments=n) > 0
-    idx = jnp.where(seg_live, segword, b.words.shape[0])
+                                   num_segments=n,
+                                   indices_are_sorted=True) > 0
+    # segment representatives carry unique, ascending word indices; dead
+    # segments trail (sentinels sort last) and get unique OOB indices so
+    # the sorted/unique promises hold and XLA vectorizes the scatter
+    W = b.words.shape[0]
+    dead_idx = np.uint32(W) + jnp.arange(n, dtype=U32)
+    idx = jnp.where(seg_live, segword, dead_idx)
     cur = b.words.at[jnp.where(seg_live, segword, 0)].get(mode="clip")
-    return Bloom(words=b.words.at[idx].set(cur | orv, mode="drop"))
+    return Bloom(words=b.words.at[idx].set(
+        cur | orv, mode="drop", indices_are_sorted=True,
+        unique_indices=True))
 
 
 def bloom_contains(b: Bloom, khi, klo, mask, n_hash: int, log2_bits: int,

@@ -95,21 +95,43 @@ def _row_runs(solid, is_junc):
 
 
 class ScanUpdates(NamedTuple):
-    """Flat per-window update batches produced by scan_core; the local
-    pipeline upserts them into local tables, the sharded pipeline routes
-    them to owner shards first."""
-    khi: jnp.ndarray       # [B*P]
-    klo: jnp.ndarray
-    junc_mask: jnp.ndarray
-    cov8: jnp.ndarray      # [B*P, 8]
-    dist8: jnp.ndarray     # [B*P, 8] uint16
+    """Compacted per-window update batches produced by scan_core; the
+    local pipeline upserts them into local tables, the sharded pipeline
+    routes them to owner shards first.
+
+    Junction/sink updates are sparse (branch points + read ends), so the
+    [B*P] grid is compacted to cfg.scan_update_cap lanes — XLA scatter
+    cost scales with update-lane count, and routing buffers shrink by the
+    same factor. Overflow is counted, never silent."""
+    jhi: jnp.ndarray        # [K] junction update keys
+    jlo: jnp.ndarray
+    junc_mask: jnp.ndarray  # [K]
+    cov8: jnp.ndarray       # [K, 8]
+    dist8: jnp.ndarray      # [K, 8] uint16
+    jwords: jnp.ndarray     # [K, 4] wide canon words (or [K, 0] narrow)
+    shi: jnp.ndarray        # [K] sink update keys
+    slo: jnp.ndarray
     sink_mask: jnp.ndarray
-    sink_cov: jnp.ndarray  # [B*P]
-    jm: jnp.ndarray        # [B, P]
-    canon_hi: jnp.ndarray  # [B, P]
+    sink_cov: jnp.ndarray   # [K]
+    swords: jnp.ndarray     # [K, 4] or [K, 0]
+    upd_dropped: jnp.ndarray  # [] lanes lost to the compaction cap
+    jm: jnp.ndarray         # [B, P]
+    canon_hi: jnp.ndarray   # [B, P]
     canon_lo: jnp.ndarray
     n_solid: jnp.ndarray
     n_junc_pos: jnp.ndarray
+
+
+def _compact(mask, K: int, payloads):
+    """Gather the True lanes of a sparse update grid into K lanes.
+
+    Returns (mask[K], gathered payloads, dropped count). Stable argsort
+    puts True lanes first in original order (deterministic)."""
+    order = jnp.argsort(~mask, stable=True)
+    take = order[:K]
+    cmask = mask[take]
+    dropped = jnp.sum(mask, dtype=I32) - jnp.sum(cmask, dtype=I32)
+    return cmask, tuple(p[take] for p in payloads), dropped
 
 
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
@@ -118,11 +140,19 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
     solid_fn = lambda khi, klo, m: BL.cascade_solid(cascade, khi, klo, m,
                                                     cfg)
     u = scan_core(solid_fn, bases, lens, cfg)
-    junctions = T.upsert(junctions, u.khi, u.klo, (u.cov8, u.dist8),
-                         u.junc_mask, modes=("add", "max"),
-                         shard_bits=cfg.shard_bits)
-    sinks = T.upsert(sinks, u.khi, u.klo, (u.sink_cov,), u.sink_mask,
-                     modes=("add",), shard_bits=cfg.shard_bits)
+    wide = cfg.size_kmer > 31
+    junctions = T.upsert(
+        junctions, u.jhi, u.jlo,
+        (u.cov8, u.dist8) + ((u.jwords,) if wide else ()),
+        u.junc_mask,
+        modes=("add", "max") + (("max",) if wide else ()),
+        shard_bits=cfg.shard_bits)
+    sinks = T.upsert(
+        sinks, u.shi, u.slo,
+        (u.sink_cov,) + ((u.swords,) if wide else ()),
+        u.sink_mask, modes=("add",) + (("max",) if wide else ()),
+        shard_bits=cfg.shard_bits)
+    sinks = sinks._replace(dropped=sinks.dropped + u.upd_dropped)
     return ScanResult(
         junctions=junctions, sinks=sinks, n_solid=u.n_solid,
         n_junc_pos=u.n_junc_pos, jm=u.jm, canon_hi=u.canon_hi,
@@ -132,16 +162,38 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
 def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
     """Scan with an injected solidity oracle — the same code path serves
     the local pipeline and the hash-range-sharded one (where solid_fn
-    routes queries to owner shards, dist/sharded.py)."""
-    k = cfg.size_kmer
-    view = KM.kmerize(bases, lens, k)
-    B, P = view.canon_hi.shape
+    routes queries to owner shards, dist/sharded.py).
 
-    solid = solid_fn(view.canon_hi, view.canon_lo, view.valid)
-    other_hi, other_lo = u2.select(view.canon_is_fwd, view.rc_hi,
-                                   view.rc_lo, view.fwd_hi, view.fwd_lo)
-    ehi, elo = KM.slot_ext_pairs(view.canon_hi, view.canon_lo,
-                                 other_hi, other_lo, k)
+    For k > 31 the per-window keys are 62-bit fingerprints of 4-word wide
+    codes (core/wide.py); everything downstream of (key, slot, mask) is
+    width-agnostic."""
+    k = cfg.size_kmer
+    if k <= 31:
+        view = KM.kmerize(bases, lens, k)
+        key_hi, key_lo = view.canon_hi, view.canon_lo
+        cisf, valid = view.canon_is_fwd, view.valid
+        other_hi, other_lo = u2.select(cisf, view.rc_hi, view.rc_lo,
+                                       view.fwd_hi, view.fwd_lo)
+        words = None
+
+        def ext_keys():
+            return KM.slot_ext_pairs(key_hi, key_lo, other_hi, other_lo,
+                                     k)
+    else:
+        from faucet_tpu.core import wide as W
+
+        wv = W.kmerize_wide(bases, lens, k)
+        key_hi, key_lo = wv.key_hi, wv.key_lo
+        cisf, valid = wv.canon_is_fwd, wv.valid
+        other = W.wselect(cisf, wv.rc, wv.fwd)
+        words = jnp.stack(wv.canon, axis=-1)  # [B, P, 4]
+
+        def ext_keys():
+            return W.slot_ext_keys_wide(wv.canon, other, k)
+
+    B, P = key_hi.shape
+    solid = solid_fn(key_hi, key_lo, valid)
+    ehi, elo = ext_keys()
     ext_solid = solid_fn(
         ehi, elo, jnp.broadcast_to(solid[..., None], ehi.shape))
     right_deg = jnp.sum(ext_solid[..., 0:4], axis=-1)
@@ -158,8 +210,8 @@ def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
 
     exit_ok = is_junc & ~end_m
     entry_ok = is_junc & ~start_m
-    ex_slot = exit_slot(view.canon_is_fwd, jnp.minimum(nb, 3).astype(I32))
-    en_slot = entry_slot(view.canon_is_fwd, jnp.minimum(pb, 3).astype(I32))
+    ex_slot = exit_slot(cisf, jnp.minimum(nb, 3).astype(I32))
+    en_slot = entry_slot(cisf, jnp.minimum(pb, 3).astype(I32))
     ex_dist = (jnp.where(nj >= 0, nj, re) - pos).astype(I32)
     en_dist = (pos - jnp.where(pj >= 0, pj, rs)).astype(I32)
 
@@ -173,11 +225,21 @@ def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
     sink_cov = (start_m.astype(I32) + end_m.astype(I32))
 
     flat = lambda a: a.reshape((B * P,) + a.shape[2:])
+    K = min(B * P, cfg.scan_update_cap)
+    wflat = (flat(words) if words is not None
+             else jnp.zeros((B * P, 0), jnp.uint32))
+    jmask, (jhi, jlo, ccov8, cdist8, jwords), jdrop = _compact(
+        flat(is_junc), K,
+        (flat(key_hi), flat(key_lo), flat(cov8), flat(dist8), wflat))
+    smask, (shi, slo, scov, swords), sdrop = _compact(
+        flat(sink_pos), K,
+        (flat(key_hi), flat(key_lo), flat(sink_cov), wflat))
     return ScanUpdates(
-        khi=flat(view.canon_hi), klo=flat(view.canon_lo),
-        junc_mask=flat(is_junc), cov8=flat(cov8), dist8=flat(dist8),
-        sink_mask=flat(sink_pos), sink_cov=flat(sink_cov),
-        jm=is_junc, canon_hi=view.canon_hi, canon_lo=view.canon_lo,
+        jhi=jhi, jlo=jlo, junc_mask=jmask, cov8=ccov8, dist8=cdist8,
+        jwords=jwords,
+        shi=shi, slo=slo, sink_mask=smask, sink_cov=scov, swords=swords,
+        upd_dropped=jdrop + sdrop,
+        jm=is_junc, canon_hi=key_hi, canon_lo=key_lo,
         n_solid=jnp.sum(solid, dtype=I32),
         n_junc_pos=jnp.sum(is_junc, dtype=I32))
 
@@ -233,8 +295,13 @@ def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult,
 
 def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:
     """Phase-1 cascade load of every valid window of the batch."""
-    view = KM.kmerize(bases, lens, cfg.size_kmer)
-    B, P = view.canon_hi.shape
-    return BL.cascade_insert(
-        cascade, view.canon_hi.reshape(-1), view.canon_lo.reshape(-1),
-        view.valid.reshape(-1), cfg)
+    if cfg.size_kmer <= 31:
+        view = KM.kmerize(bases, lens, cfg.size_kmer)
+        khi, klo, valid = view.canon_hi, view.canon_lo, view.valid
+    else:
+        from faucet_tpu.core import wide as W
+
+        wv = W.kmerize_wide(bases, lens, cfg.size_kmer)
+        khi, klo, valid = wv.key_hi, wv.key_lo, wv.valid
+    return BL.cascade_insert(cascade, khi.reshape(-1), klo.reshape(-1),
+                             valid.reshape(-1), cfg)

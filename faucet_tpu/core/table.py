@@ -87,9 +87,11 @@ def _dedupe(khi, klo, vals, mask, modes):
     combined = []
     for v, mode in zip(svals, modes):
         if mode == "add":
-            c = jax.ops.segment_sum(v, seg, num_segments=n)
+            c = jax.ops.segment_sum(v, seg, num_segments=n,
+                                    indices_are_sorted=True)
         elif mode == "max":
-            c = jax.ops.segment_max(v, seg, num_segments=n)
+            c = jax.ops.segment_max(v, seg, num_segments=n,
+                                    indices_are_sorted=True)
         else:
             raise ValueError(f"unknown combine mode {mode!r}")
         combined.append(c[seg])
@@ -115,6 +117,8 @@ def upsert(tbl: Table, khi, klo, vals: Tuple, mask, modes: Tuple[str, ...],
         _, _, pending, r, _, _ = state
         return jnp.any(pending) & (r < max_rounds)
 
+    lanes = jnp.arange(n, dtype=U32)
+
     def body(state):
         (keys_hi_t, keys_lo_t), tvals, pending, r, claim, n_new = state
         idx = _probe_idx(h1, h2, r, cap, shard_bits)
@@ -123,22 +127,31 @@ def upsert(tbl: Table, khi, klo, vals: Tuple, mask, modes: Tuple[str, ...],
         is_match = pending & (cur_hi == skhi) & (cur_lo == sklo)
         is_empty = pending & (cur_hi == EMPTY)
         # claim empties: highest ticket wins the slot, deterministically
+        # (duplicate targets possible -> no uniqueness promise here)
         claim = claim.at[jnp.where(is_empty, idx, cap)].max(
             ticket, mode="drop")
         won = is_empty & (claim[idx] == ticket)
-        widx = jnp.where(won, idx, cap)
-        keys_hi_t = keys_hi_t.at[widx].set(skhi, mode="drop")
-        keys_lo_t = keys_lo_t.at[widx].set(sklo, mode="drop")
+
+        def uidx(write):
+            # dropped lanes get distinct OOB targets so unique_indices
+            # holds and XLA emits the vectorized scatter path
+            return jnp.where(write, idx, np.uint32(cap) + lanes)
+
+        widx = uidx(won)
+        keys_hi_t = keys_hi_t.at[widx].set(skhi, mode="drop",
+                                           unique_indices=True)
+        keys_lo_t = keys_lo_t.at[widx].set(sklo, mode="drop",
+                                           unique_indices=True)
         write = is_match | won
-        widx = jnp.where(write, idx, cap)
+        widx = uidx(write)
         new_tvals = []
         for tv, cv, mode in zip(tvals, cvals, modes):
             # winners start from zero-initialized slots, so add/max both
             # land the combined batch value directly.
             if mode == "add":
-                tv = tv.at[widx].add(cv, mode="drop")
+                tv = tv.at[widx].add(cv, mode="drop", unique_indices=True)
             else:
-                tv = tv.at[widx].max(cv, mode="drop")
+                tv = tv.at[widx].max(cv, mode="drop", unique_indices=True)
             new_tvals.append(tv)
         pending = pending & ~write
         n_new = n_new + jnp.sum(won, dtype=jnp.int32)

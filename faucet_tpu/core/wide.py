@@ -1,0 +1,209 @@
+"""Wide k-mer codes (k in (31, 63]): 4x uint32 words + fingerprint keys.
+
+Reference analogue: the large-k `kmer_type` = 128-bit int compile switch
+(ref:src/Kmer.h [C:high], SURVEY.md §2.1). TPU re-design: codes are
+tuples of 4 uint32 words (most-significant first) handled by the same
+elementwise VPU ops as the 2-word path; the *table/Bloom key* for a wide
+k-mer is a 62-bit hash fingerprint of its canonical code (collision odds
+~n^2/2^62 — far below sequencing noise), so every downstream structure
+(cascade, junction/sink/pair tables, routing) is width-agnostic. The
+true code words ride along as table VALUES where walks need to seed from
+them (SURVEY.md §7.3 M3 "128-bit k-mers on int32-native hardware").
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faucet_tpu.core.hashing import fmix32, hash_pair
+
+U32 = jnp.uint32
+NW = 4  # words per wide code
+
+
+def wzero(shape):
+    z = jnp.zeros(shape, U32)
+    return (z, z, z, z)
+
+
+def wshl2(w):
+    a, b, c, d = w
+    s = np.uint32(2)
+    t = np.uint32(30)
+    return ((a << s) | (b >> t), (b << s) | (c >> t),
+            (c << s) | (d >> t), d << s)
+
+
+def wshr2(w):
+    a, b, c, d = w
+    s = np.uint32(2)
+    t = np.uint32(30)
+    return (a >> s, (b >> s) | (a << t), (c >> s) | (b << t),
+            (d >> s) | (c << t))
+
+
+def wor_low(w, v):
+    a, b, c, d = w
+    return (a, b, c, d | v.astype(U32))
+
+
+def wor_at(w, v, bitpos: int):
+    """OR 2-bit v at static bit offset (0 = LSB of word 3)."""
+    v = v.astype(U32)
+    word = 3 - bitpos // 32
+    out = list(w)
+    out[word] = out[word] | (v << np.uint32(bitpos % 32))
+    return tuple(out)
+
+
+def wmask(w, nbits: int):
+    """Keep low nbits (static)."""
+    out = list(w)
+    for i in range(NW):
+        lo_bit = 32 * (NW - 1 - i)   # bit offset of word i's LSB
+        if nbits <= lo_bit:
+            out[i] = jnp.zeros_like(out[i])
+        elif nbits < lo_bit + 32:
+            out[i] = out[i] & np.uint32((1 << (nbits - lo_bit)) - 1)
+    return tuple(out)
+
+
+def wle(x, y):
+    """x <= y lexicographic over words."""
+    res = x[NW - 1] <= y[NW - 1]
+    for i in range(NW - 2, -1, -1):
+        res = (x[i] < y[i]) | ((x[i] == y[i]) & res)
+    return res
+
+
+def weq(x, y):
+    r = x[0] == y[0]
+    for i in range(1, NW):
+        r = r & (x[i] == y[i])
+    return r
+
+
+def wselect(pred, x, y):
+    return tuple(jnp.where(pred, a, b) for a, b in zip(x, y))
+
+
+def fingerprint(w):
+    """4-word canonical code -> (hi < 2^30, lo) table/Bloom key."""
+    h1a, h2a = hash_pair(w[0], w[1])
+    h1b, h2b = hash_pair(w[2], w[3])
+    hi = fmix32(h1a + np.uint32(3) * h1b) & np.uint32(0x3FFFFFFF)
+    lo = fmix32(h2a ^ (h2b * np.uint32(5)))
+    return hi, lo
+
+
+# ---- rolling kmerization (wide) ----------------------------------------
+
+
+class WideView(NamedTuple):
+    fwd: Tuple[jnp.ndarray, ...]    # 4 x [B, P]
+    rc: Tuple[jnp.ndarray, ...]
+    canon: Tuple[jnp.ndarray, ...]
+    canon_is_fwd: jnp.ndarray
+    valid: jnp.ndarray
+    key_hi: jnp.ndarray             # fingerprint of canon
+    key_lo: jnp.ndarray
+
+
+def kmerize_wide(bases, lens, k: int) -> WideView:
+    B, L = bases.shape
+    P = L - k + 1
+    top = 2 * (k - 1)
+
+    def step(carry, b):
+        fwd, rc, nok = carry
+        is_ok = b < 4
+        bb = jnp.where(is_ok, b, 0).astype(U32)
+        fwd = wmask(wor_low(wshl2(fwd), bb), 2 * k)
+        rc = wor_at(wshr2(rc), np.uint32(3) - bb, top)
+        nok = jnp.where(is_ok, nok + 1, 0)
+        return (fwd, rc, nok), (fwd, rc, nok)
+
+    init = (wzero((B,)), wzero((B,)), jnp.zeros((B,), jnp.int32))
+    _, (fwd, rc, nok) = jax.lax.scan(step, init, bases.T.astype(U32))
+
+    pv = lambda a: a[k - 1 :].T
+    fwd = tuple(pv(a) for a in fwd)
+    rc = tuple(pv(a) for a in rc)
+    nok = pv(nok)
+    ends = jnp.arange(k - 1, L, dtype=jnp.int32)[None, :]
+    valid = (nok >= k) & (ends < lens[:, None])
+    cisf = wle(fwd, rc)
+    canon = wselect(cisf, fwd, rc)
+    khi, klo = fingerprint(canon)
+    return WideView(fwd=fwd, rc=rc, canon=canon, canon_is_fwd=cisf,
+                    valid=valid, key_hi=khi, key_lo=klo)
+
+
+def right_ext_wide(fwd, rc, b, k: int):
+    top = 2 * (k - 1)
+    b = jnp.asarray(b).astype(U32)
+    nf = wmask(wor_low(wshl2(fwd), b), 2 * k)
+    nr = wor_at(wshr2(rc), np.uint32(3) - b, top)
+    return nf, nr
+
+
+def left_ext_wide(fwd, rc, c, k: int):
+    top = 2 * (k - 1)
+    c = jnp.asarray(c).astype(U32)
+    nf = wor_at(wshr2(fwd), c, top)
+    nr = wmask(wor_low(wshl2(rc), np.uint32(3) - c), 2 * k)
+    return nf, nr
+
+
+def canon_of_wide(fwd, rc):
+    cisf = wle(fwd, rc)
+    return wselect(cisf, fwd, rc), cisf
+
+
+def slot_ext_keys_wide(canon, other, k: int):
+    """Fingerprints of the 8 slot-extensions (canonical-frame)."""
+    his, los = [], []
+    for b in range(4):
+        nf, nr = right_ext_wide(canon, other, np.uint32(b), k)
+        c, _ = canon_of_wide(nf, nr)
+        hi, lo = fingerprint(c)
+        his.append(hi)
+        los.append(lo)
+    for c_ in range(4):
+        nf, nr = left_ext_wide(canon, other, np.uint32(c_), k)
+        c, _ = canon_of_wide(nf, nr)
+        hi, lo = fingerprint(c)
+        his.append(hi)
+        los.append(lo)
+    return jnp.stack(his, axis=-1), jnp.stack(los, axis=-1)
+
+
+def wtop_base(fwd, k: int):
+    bitpos = 2 * (k - 1)
+    word = 3 - bitpos // 32
+    return ((fwd[word] >> np.uint32(bitpos % 32)) & np.uint32(3)).astype(
+        jnp.int32)
+
+
+# ---- host helpers ------------------------------------------------------
+
+
+def encode_kmer_wide(s: str):
+    v = 0
+    from faucet_tpu.core.kmer import encode_seq
+
+    for c in encode_seq(s):
+        assert c < 4
+        v = (v << 2) | int(c)
+    return tuple((v >> (32 * (NW - 1 - i))) & 0xFFFFFFFF
+                 for i in range(NW))
+
+
+def decode_kmer_wide(words, k: int) -> str:
+    v = 0
+    for w in words:
+        v = (v << 32) | int(w)
+    return "".join("ACGT"[(v >> (2 * (k - 1 - i))) & 3] for i in range(k))

@@ -47,7 +47,8 @@ def bucketize(owner, mask, n_shards: int, cap: int) -> RouteInfo:
         [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
     group_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank_sorted = idx - group_start
-    rank = jnp.zeros((n,), I32).at[order].set(rank_sorted)
+    rank = jnp.zeros((n,), I32).at[order].set(rank_sorted,
+                                              unique_indices=True)
     ok = mask & (rank < cap)
     dropped = jnp.sum(mask & (rank >= cap), dtype=I32)
     return RouteInfo(owner=key, rank=rank, ok=ok, dropped=dropped)

@@ -104,24 +104,25 @@ def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                                 drops)
     u = SC.scan_core(solid_fn, bases, lens, cfg)
 
-    owner = _owner(u.khi, u.klo, shard_bits)
-    capj = _cap_for(u.khi.shape[0], n_shards)
+    # compacted update lanes can be dense in the worst case: full-size
+    # per-peer buckets, so routing never drops what compaction kept
+    capj = u.jhi.shape[0]
     recv, rmask, info = R.route(
-        {"hi": u.khi, "lo": u.klo, "cov8": u.cov8, "dist8": u.dist8},
-        owner, u.junc_mask, n_shards, capj)
+        {"hi": u.jhi, "lo": u.jlo, "cov8": u.cov8, "dist8": u.dist8},
+        _owner(u.jhi, u.jlo, shard_bits), u.junc_mask, n_shards, capj)
     junctions = T.upsert(junctions, recv["hi"], recv["lo"],
                          (recv["cov8"], recv["dist8"]), rmask,
                          modes=("add", "max"))
     drops.append(info.dropped)
 
     recv, rmask, info = R.route(
-        {"hi": u.khi, "lo": u.klo, "cov": u.sink_cov}, owner,
-        u.sink_mask, n_shards, capj)
+        {"hi": u.shi, "lo": u.slo, "cov": u.sink_cov},
+        _owner(u.shi, u.slo, shard_bits), u.sink_mask, n_shards, capj)
     sinks = T.upsert(sinks, recv["hi"], recv["lo"], (recv["cov"],), rmask,
                      modes=("add",))
     drops.append(info.dropped)
 
-    total_drops = sum(drops).reshape(1)
+    total_drops = (sum(drops) + u.upd_dropped).reshape(1)
     return (junctions, sinks, u.n_solid.reshape(1),
             u.n_junc_pos.reshape(1), u.jm, u.canon_hi, u.canon_lo,
             total_drops)

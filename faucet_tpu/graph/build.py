@@ -7,6 +7,10 @@ covered junction slot (ref:src/ContigGraph.cpp, SURVEY.md §3.1 PHASE 3
 assembles Contig records. Pass 2 rebuilds junction-free components from
 sink anchors in chunks, filtering later sinks through the k-mers already
 visited (SURVEY.md §A.6 and refimpl/numpy_exact.py build()).
+
+Width handling: a codec object hides the difference between narrow
+(k<=31: table keys ARE the canonical codes) and wide (k>31: fingerprint
+keys + stored 4-word codes, core/wide.py) representations.
 """
 from __future__ import annotations
 
@@ -51,6 +55,103 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
     return p
 
 
+class _NarrowCodec:
+    """k <= 31: table keys are the canonical 2-word codes."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.k = cfg.size_kmer
+
+    def seed_payload(self, t, rows):
+        return {"hi": t["hi"][rows], "lo": t["lo"][rows]}
+
+    def node_strs(self, t, rows):
+        return [decode_kmer(int(t["hi"][i]), int(t["lo"][i]), self.k)
+                for i in rows]
+
+    def make_frontier(self, payload, dirs, forced, active, circle_ok,
+                      pad):
+        chi = pad(payload["hi"], 0)
+        clo = pad(payload["lo"], 0)
+        rc = revcomp_code_np(_to_int(chi, clo), self.k)
+        return W.make_frontier(
+            jnp.asarray(chi), jnp.asarray(clo),
+            jnp.asarray((rc >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((rc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray(pad(np.asarray(dirs, np.int32), 0)),
+            jnp.asarray(pad(np.asarray(forced, np.int32), -1)),
+            jnp.asarray(active),
+            jnp.asarray(pad(np.asarray(circle_ok, bool), False)))
+
+    def walk_round(self):
+        return W.walk_round
+
+    def finish(self, fr, n):
+        chi, clo, _ = KM.canon_of(fr.fhi, fr.flo, fr.rhi, fr.rlo)
+        hi = np.asarray(chi)[:n]
+        lo = np.asarray(clo)[:n]
+        return {
+            "end_key": _to_int(hi, lo),
+            "end_str": [decode_kmer(int(hi[i]), int(lo[i]), self.k)
+                        for i in range(n)],
+        }
+
+
+class _WideCodec:
+    """k > 31: fingerprint keys; true 4-word codes stored as values."""
+
+    def __init__(self, cfg, words_col: str):
+        self.cfg = cfg
+        self.k = cfg.size_kmer
+        self.words_col = words_col  # which v<i> holds the codes
+
+    def seed_payload(self, t, rows):
+        return {"words": t[self.words_col][rows]}
+
+    def node_strs(self, t, rows):
+        from faucet_tpu.core.wide import decode_kmer_wide
+
+        return [decode_kmer_wide(t[self.words_col][i], self.k)
+                for i in rows]
+
+    def make_frontier(self, payload, dirs, forced, active, circle_ok,
+                      pad):
+        from faucet_tpu.core.wide import (decode_kmer_wide,
+                                          encode_kmer_wide)
+
+        words = payload["words"]  # [n, 4] uint32
+        n = len(words)
+        rcw = np.zeros_like(words)
+        for i in range(n):
+            rcw[i] = encode_kmer_wide(
+                revcomp_seq(decode_kmer_wide(words[i], self.k)))
+        wpad = lambda a: pad(np.ascontiguousarray(a), 0)
+        cw = tuple(jnp.asarray(wpad(words[:, j])) for j in range(4))
+        rw = tuple(jnp.asarray(wpad(rcw[:, j])) for j in range(4))
+        return W.make_frontier_wide(
+            cw, rw,
+            jnp.asarray(pad(np.asarray(dirs, np.int32), 0)),
+            jnp.asarray(pad(np.asarray(forced, np.int32), -1)),
+            jnp.asarray(active),
+            jnp.asarray(pad(np.asarray(circle_ok, bool), False)))
+
+    def walk_round(self):
+        return W.walk_round_wide
+
+    def finish(self, fr, n):
+        from faucet_tpu.core.wide import (canon_of_wide, decode_kmer_wide,
+                                          fingerprint)
+
+        canon, _ = canon_of_wide(fr.fwd, fr.rc)
+        khi, klo = fingerprint(canon)
+        words = np.stack([np.asarray(w)[:n] for w in canon], axis=1)
+        return {
+            "end_key": _to_int(np.asarray(khi)[:n], np.asarray(klo)[:n]),
+            "end_str": [decode_kmer_wide(words[i], self.k)
+                        for i in range(n)],
+        }
+
+
 class GraphBuilder:
     def __init__(self, cfg, cascade: BL.Cascade, junctions: T.Table,
                  sinks: T.Table):
@@ -58,57 +159,57 @@ class GraphBuilder:
         self.cascade = cascade
         self.junctions = junctions
         self.sinks = sinks
-        self._walk_round = jax.jit(
-            W.walk_round, static_argnames=("n_steps", "cfg"))
+        if cfg.wide:
+            self.codec_j = _WideCodec(cfg, "v2")
+            self.codec_s = _WideCodec(cfg, "v1")
+        else:
+            self.codec_j = self.codec_s = _NarrowCodec(cfg)
+        self._jitted = {}
+
+    def _walk_fn(self, codec):
+        fn = codec.walk_round()
+        if fn not in self._jitted:
+            self._jitted[fn] = jax.jit(
+                fn, static_argnames=("n_steps", "cfg"))
+        return self._jitted[fn]
 
     # ---- device walk driver --------------------------------------------
-    def _run_walks(self, chi, clo, dirs, forced, circle_ok):
-        """Drive walks to completion in rounds; returns host dict."""
+    def _run_walks(self, codec, payload, dirs, forced, circle_ok):
         cfg = self.cfg
-        n = len(chi)
+        n = len(dirs)
         assert n > 0
         Wp = _pad_pow2(n)
-        k = cfg.size_kmer
 
         def pad(a, fill):
-            out = np.full((Wp,), fill, dtype=np.asarray(a).dtype)
+            a = np.asarray(a)
+            out = np.full((Wp,) + a.shape[1:], fill, dtype=a.dtype)
             out[:n] = a
             return out
 
-        chi_p = pad(np.asarray(chi, np.uint32), 0)
-        clo_p = pad(np.asarray(clo, np.uint32), 0)
-        rc = revcomp_code_np(_to_int(chi_p, clo_p), k)
         active = np.zeros(Wp, bool)
         active[:n] = True
-        fr = W.make_frontier(
-            jnp.asarray(chi_p), jnp.asarray(clo_p),
-            jnp.asarray((rc >> np.uint64(32)).astype(np.uint32)),
-            jnp.asarray((rc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray(pad(np.asarray(dirs, np.int32), 0)),
-            jnp.asarray(pad(np.asarray(forced, np.int32), -1)),
-            jnp.asarray(active),
-            jnp.asarray(pad(np.asarray(circle_ok, bool), False)))
+        fr = codec.make_frontier(payload, dirs, forced, active,
+                                 circle_ok, pad)
+        runner = self._walk_fn(codec)
         strips: List[np.ndarray] = []
         total = 0
         while total < cfg.max_contig_len:
-            fr, bases = self._walk_round(
-                self.cascade, self.junctions, fr,
-                n_steps=cfg.walk_round_steps, cfg=cfg)
+            fr, bases = runner(self.cascade, self.junctions, fr,
+                               n_steps=cfg.walk_round_steps, cfg=cfg)
             strips.append(np.asarray(bases))
             total += cfg.walk_round_steps
             if not bool(jnp.any(fr.active)):
                 break
         allb = np.concatenate(strips, axis=1) if strips else np.zeros(
             (Wp, 0), np.uint8)
-        chi_f, clo_f, cisf = KM.canon_of(fr.fhi, fr.flo, fr.rhi, fr.rlo)
-        return {
+        out = {
             "bases": allb[:n],
             "end_kind": np.asarray(fr.end_kind)[:n],
             "entry_slot": np.asarray(fr.entry_slot)[:n],
             "steps": np.asarray(fr.steps)[:n],
-            "end_hi": np.asarray(chi_f)[:n],
-            "end_lo": np.asarray(clo_f)[:n],
         }
+        out.update(codec.finish(fr, n))
+        return out
 
     # ---- contig assembly -------------------------------------------------
     def _strip_to_str(self, row: np.ndarray, steps: int) -> str:
@@ -118,14 +219,18 @@ class GraphBuilder:
         cfg = self.cfg
         k = cfg.size_kmer
         jt = extract_table(self.junctions)
+        n_j = len(jt["hi"])
         cov8 = jt.get("v0", np.zeros((0, 8), np.int32))
         dist8 = jt.get("v1", np.zeros((0, 8), np.uint16))
         jkeys = _to_int(jt["hi"], jt["lo"])
         order = np.argsort(jkeys, kind="stable")
+        for key in list(jt.keys()):
+            jt[key] = jt[key][order]
         jkeys, cov8, dist8 = jkeys[order], cov8[order], dist8[order]
-        jhi, jlo = jt["hi"][order], jt["lo"][order]
         jcov_by_key: Dict[int, np.ndarray] = {
             int(kk): cov8[i] for i, kk in enumerate(jkeys)}
+        all_rows = list(range(n_j))
+        jnode_strs = self.codec_j.node_strs(jt, all_rows) if n_j else []
 
         by_key: Dict[str, Contig] = {}
 
@@ -135,61 +240,65 @@ class GraphBuilder:
             dirs = (slots >= 4).astype(np.int32)
             forced = np.where(slots < 4, slots, 3 - (slots - 4)).astype(
                 np.int32)
-            out = self._run_walks(jhi[rows], jlo[rows], dirs, forced,
-                                  np.zeros(len(rows), bool))
+            out = self._run_walks(self.codec_j,
+                                  self.codec_j.seed_payload(jt, rows),
+                                  dirs, forced, np.zeros(len(rows), bool))
             for i in range(len(rows)):
                 c = self._pass1_contig(
-                    jhi[rows[i]], jlo[rows[i]], int(slots[i]),
-                    cov8[rows[i]], dist8[rows[i]], out, i, jcov_by_key)
+                    jnode_strs[rows[i]], int(slots[i]), cov8[rows[i]],
+                    dist8[rows[i]], out, i, jcov_by_key)
                 if c is not None:
                     by_key.setdefault(c.canonical_seq(), c)
 
         visited = set()
-        for c in by_key.values():
+
+        def mark_visited(c: Contig):
             src = c.seq + (c.seq[: k - 1] if c.circular else "")
             for i in range(len(src) - k + 1):
                 w = src[i : i + k]
                 visited.add(min(w, revcomp_seq(w)))
 
+        for c in by_key.values():
+            mark_visited(c)
+
         # ---- pass 2: junction-free components from sink anchors ---------
         st = extract_table(self.sinks)
         skeys = _to_int(st["hi"], st["lo"])
         order = np.argsort(skeys, kind="stable")
-        shi, slo = st["hi"][order], st["lo"][order]
-        scov = st["v0"][order]
-        jset = set(int(x) for x in jkeys)
+        for key in list(st.keys()):
+            st[key] = st[key][order]
+        jset = {int(x) for x in jkeys}
+        n_s = len(st["hi"])
+        snode_strs = self.codec_s.node_strs(st, list(range(n_s))) \
+            if n_s else []
         chunk = 4096
-        pend = [i for i in range(len(shi))
-                if int(_to_int(shi[i], slo[i])) not in jset]
+        pend = [i for i in range(n_s)
+                if int(_to_int(st["hi"][i], st["lo"][i])) not in jset]
         while pend:
             batch = []
             for i in pend:
-                s = decode_kmer(int(shi[i]), int(slo[i]), k)
-                if s not in visited:  # s is canonical already
+                if snode_strs[i] not in visited:
                     batch.append(i)
                 if len(batch) >= chunk:
                     break
             if not batch:
                 break
-            pend = [i for i in pend if i not in set(batch)]
-            new = self._pass2_contigs(shi[batch], slo[batch], scov[batch])
+            bset = set(batch)
+            pend = [i for i in pend if i not in bset]
+            new = self._pass2_contigs(st, batch, snode_strs)
             for c in new:
                 key = c.canonical_seq()
                 if key in by_key:
                     continue
                 by_key[key] = c
-                src = c.seq + (c.seq[: k - 1] if c.circular else "")
-                for i in range(len(src) - k + 1):
-                    w = src[i : i + k]
-                    visited.add(min(w, revcomp_seq(w)))
+                mark_visited(c)
 
         return ContigGraph(k, list(by_key.values()))
 
-    def _pass1_contig(self, hi, lo, slot, cov8, dist8, out, i,
+    def _pass1_contig(self, node: str, slot: int, cov8, dist8, out, i,
                       jcov_by_key) -> Optional[Contig]:
         cfg = self.cfg
         k = cfg.size_kmer
-        node = decode_kmer(int(hi), int(lo), k)
         w0 = node if slot < 4 else revcomp_seq(node)
         steps = int(out["steps"][i])
         kind = int(out["end_kind"][i])
@@ -200,51 +309,50 @@ class GraphBuilder:
             if dist and steps > dist:
                 seq = seq[: k + dist]  # trim FP tail to observed coverage
             cov = float(cov8[slot])
-            return Contig(seq=seq, cov=cov, left=End(node, slot), right=None)
+            return Contig(seq=seq, cov=cov, left=End(node, slot),
+                          right=None)
         if kind == W.END_JUNCTION:
-            end_key = int(_to_int(out["end_hi"][i], out["end_lo"][i]))
-            end_node = decode_kmer(int(out["end_hi"][i]),
-                                   int(out["end_lo"][i]), k)
+            end_key = int(out["end_key"][i])
+            end_node = out["end_str"][i]
             eslot = int(out["entry_slot"][i])
             ecov = jcov_by_key.get(end_key)
             cov = (float(cov8[slot]) + (float(ecov[eslot])
                                         if ecov is not None else 0.0)) / 2
             return Contig(seq=seq, cov=cov, left=End(node, slot),
                           right=End(end_node, eslot))
-        # circular cannot happen for junction-seeded walks (circle_ok=False)
+        # circular cannot happen for junction-seeded walks (circle_ok off)
         return None
 
-    def _pass2_contigs(self, shi, slo, scov) -> List[Contig]:
+    def _pass2_contigs(self, st, batch, snode_strs) -> List[Contig]:
         cfg = self.cfg
         k = cfg.size_kmer
-        n = len(shi)
+        n = len(batch)
         zeros = np.zeros(n, np.int32)
-        rout = self._run_walks(shi, slo, zeros, zeros - 1,
+        payload = self.codec_s.seed_payload(st, batch)
+        rout = self._run_walks(self.codec_s, payload, zeros, zeros - 1,
                                np.ones(n, bool))
-        lout = self._run_walks(shi, slo, zeros + 1, zeros - 1,
-                               np.ones(n, bool))
+        lout = self._run_walks(self.codec_s, payload, zeros + 1,
+                               zeros - 1, np.ones(n, bool))
+        scov = st["v0"]
         contigs = []
-        for i in range(n):
-            start = decode_kmer(int(shi[i]), int(slo[i]), k)
+        for j, i in enumerate(batch):
+            start = snode_strs[i]
             cov = float(scov[i])
-            rsteps = int(rout["steps"][i])
-            rb = self._strip_to_str(rout["bases"][i], rsteps)
-            if int(rout["end_kind"][i]) == W.END_CIRCULAR:
+            rsteps = int(rout["steps"][j])
+            rb = self._strip_to_str(rout["bases"][j], rsteps)
+            if int(rout["end_kind"][j]) == W.END_CIRCULAR:
                 contigs.append(Contig(seq=(start + rb)[:rsteps], cov=cov,
                                       circular=True))
                 continue
-            lsteps = int(lout["steps"][i])
-            lb = self._strip_to_str(lout["bases"][i], lsteps)
+            lsteps = int(lout["steps"][j])
+            lb = self._strip_to_str(lout["bases"][j], lsteps)
             seq = revcomp_seq(revcomp_seq(start) + lb) + rb
             left = None
-            if int(lout["end_kind"][i]) == W.END_JUNCTION:
-                ln = decode_kmer(int(lout["end_hi"][i]),
-                                 int(lout["end_lo"][i]), k)
-                left = End(ln, int(lout["entry_slot"][i]))
+            if int(lout["end_kind"][j]) == W.END_JUNCTION:
+                left = End(lout["end_str"][j], int(lout["entry_slot"][j]))
             right = None
-            if int(rout["end_kind"][i]) == W.END_JUNCTION:
-                rn = decode_kmer(int(rout["end_hi"][i]),
-                                 int(rout["end_lo"][i]), k)
-                right = End(rn, int(rout["entry_slot"][i]))
-            contigs.append(Contig(seq=seq, cov=cov, left=left, right=right))
+            if int(rout["end_kind"][j]) == W.END_JUNCTION:
+                right = End(rout["end_str"][j], int(rout["entry_slot"][j]))
+            contigs.append(Contig(seq=seq, cov=cov, left=left,
+                                  right=right))
         return contigs

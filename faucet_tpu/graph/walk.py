@@ -134,3 +134,91 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
 
     fr, bases = jax.lax.scan(step, fr, None, length=n_steps)
     return fr, bases.T  # [W, n_steps]
+
+
+# ---- wide (k > 31) frontier: 4-word codes, fingerprint keys ------------
+
+
+class FrontierW(NamedTuple):
+    fwd: Tuple[jnp.ndarray, ...]   # 4 x [W] travel-frame forward code
+    rc: Tuple[jnp.ndarray, ...]
+    t0: Tuple[jnp.ndarray, ...]    # start travel-frame code (circles)
+    forced: jnp.ndarray
+    circle_ok: jnp.ndarray
+    active: jnp.ndarray
+    end_kind: jnp.ndarray
+    entry_slot: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def make_frontier_wide(cwords, rcwords, dirs, forced, active,
+                       circle_ok) -> FrontierW:
+    from faucet_tpu.core import wide as WD
+
+    fwd = WD.wselect(dirs == 0, cwords, rcwords)
+    rc = WD.wselect(dirs == 0, rcwords, cwords)
+    n = fwd[0].shape[0]
+    return FrontierW(
+        fwd=fwd, rc=rc, t0=fwd,
+        forced=jnp.asarray(forced, I32),
+        circle_ok=jnp.asarray(circle_ok, bool),
+        active=jnp.asarray(active, bool),
+        end_kind=jnp.full((n,), RUNNING, I32),
+        entry_slot=jnp.full((n,), -1, I32),
+        steps=jnp.zeros((n,), I32))
+
+
+def walk_round_wide(cascade: BL.Cascade, junctions: T.Table,
+                    fr: FrontierW, n_steps: int, cfg
+                    ) -> Tuple[FrontierW, jnp.ndarray]:
+    from faucet_tpu.core import wide as WD
+
+    k = cfg.size_kmer
+
+    def step(fr: FrontierW, _):
+        a = fr.active
+        sols = []
+        for b in range(4):
+            nf, nr = WD.right_ext_wide(fr.fwd, fr.rc, np.uint32(b), k)
+            c, _ = WD.canon_of_wide(nf, nr)
+            khi, klo = WD.fingerprint(c)
+            sols.append(BL.cascade_solid(cascade, khi, klo, a, cfg))
+        solid4 = jnp.stack(sols, axis=-1)
+        cnt = jnp.sum(solid4, axis=-1)
+        free = a & (fr.forced < 0)
+        dead = free & (cnt == 0)
+        ambig = free & (cnt >= 2)
+        bsel = jnp.where(fr.forced >= 0, fr.forced,
+                         jnp.argmax(solid4, axis=-1).astype(I32))
+        advance = a & ~dead & ~ambig
+
+        pbase = WD.wtop_base(fr.fwd, k)
+        nf, nr = WD.right_ext_wide(fr.fwd, fr.rc, bsel.astype(jnp.uint32),
+                                   k)
+        fwd = WD.wselect(advance, nf, fr.fwd)
+        rc = WD.wselect(advance, nr, fr.rc)
+
+        circ = advance & fr.circle_ok & WD.weq(fwd, fr.t0)
+        canon, cisf = WD.canon_of_wide(fwd, rc)
+        khi, klo = WD.fingerprint(canon)
+        at_junc = T.lookup(junctions, khi, klo, advance & ~circ,
+                           shard_bits=cfg.shard_bits)[0]
+        eslot = entry_slot(cisf, pbase)
+
+        end_kind = fr.end_kind
+        end_kind = jnp.where(dead, END_DEAD, end_kind)
+        end_kind = jnp.where(ambig, END_AMBIG, end_kind)
+        end_kind = jnp.where(circ, END_CIRCULAR, end_kind)
+        end_kind = jnp.where(at_junc, END_JUNCTION, end_kind)
+        entry = jnp.where(at_junc, eslot, fr.entry_slot)
+        active = a & ~dead & ~ambig & ~circ & ~at_junc
+        out_base = jnp.where(advance, bsel, 255).astype(jnp.uint8)
+        new = FrontierW(
+            fwd=fwd, rc=rc, t0=fr.t0,
+            forced=jnp.full_like(fr.forced, -1),
+            circle_ok=fr.circle_ok, active=active, end_kind=end_kind,
+            entry_slot=entry, steps=fr.steps + advance.astype(I32))
+        return new, out_base
+
+    fr, bases = jax.lax.scan(step, fr, None, length=n_steps)
+    return fr, bases.T

@@ -50,9 +50,13 @@ class Pipeline:
         self.cfg = cfg
         self.metrics = metrics or Metrics(cfg.metrics_file)
         self.cascade = BL.make_cascade(cfg)
+        # wide k-mers (k>31) store their 4 canonical code words as table
+        # values so walks can seed from fingerprint-keyed entries
+        wspec = (((4,), jnp.uint32),) if cfg.wide else ()
         self.junctions = T.make(
-            cfg.junction_cap, (((8,), jnp.int32), ((8,), jnp.uint16)))
-        self.sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
+            cfg.junction_cap,
+            (((8,), jnp.int32), ((8,), jnp.uint16)) + wspec)
+        self.sinks = T.make(cfg.sink_cap, (((), jnp.int32),) + wspec)
         self.pairs = T.make(cfg.pair_cap, (((), jnp.int32),))
         self._load = jax.jit(SC.load_batch, static_argnames=("cfg",),
                              donate_argnums=(0,))
