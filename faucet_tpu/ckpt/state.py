@@ -24,7 +24,7 @@ from faucet_tpu.core import table as T
 def _cfg_hash(cfg: Config) -> str:
     # only semantics-affecting fields guard the checkpoint
     keys = ("size_kmer", "estimated_kmers", "singletons", "fp_rate",
-            "two_hash", "exact")
+            "two_hash", "exact", "n_shards")
     d = {k: getattr(cfg, k) for k in keys}
     return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()
 

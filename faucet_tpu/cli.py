@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "when a sitecustomize pre-imported jax")
     p.add_argument("--no_native", action="store_true",
                    help="disable the C++ reader/packer (use pure Python)")
+    # ---- multi-host (SURVEY.md §2.2: DCN all-to-all, per-host input) ---
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(passed to jax.distributed.initialize)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -99,8 +105,25 @@ def main(argv=None) -> int:
     from faucet_tpu.pipeline import Pipeline
     from faucet_tpu.ckpt import state as CK
 
+    if args.coordinator:
+        import jax
+
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+
     metrics = Metrics(cfg.metrics_file)
-    pipe = Pipeline(cfg, metrics)
+    if cfg.n_shards > 1:
+        if cfg.paired_ends:
+            print("error: --paired_ends with --n_shards > 1 is not yet "
+                  "supported (pair capture runs single-shard)",
+                  file=sys.stderr)
+            return 2
+        from faucet_tpu.dist.mesh import make_mesh
+        from faucet_tpu.dist.sharded import ShardedPipeline
+
+        pipe = ShardedPipeline(cfg, make_mesh(cfg.n_shards), metrics)
+    else:
+        pipe = Pipeline(cfg, metrics)
     prof = None
     if cfg.profile:
         import jax
@@ -114,6 +137,10 @@ def main(argv=None) -> int:
         pipe.cascade = CK.load_bloom(cfg.bloom_file, cfg)
         pipe.junctions, pipe.sinks = CK.load_junctions(
             cfg.junctions_file, cfg)
+        if cfg.n_shards > 1:
+            pipe.cascade = pipe.stream.place_state(pipe.cascade)
+            pipe.junctions = pipe.stream.place_state(pipe.junctions)
+            pipe.sinks = pipe.stream.place_state(pipe.sinks)
         resumed = True
         print(f"[faucet_tpu] resumed from {cfg.bloom_file} + "
               f"{cfg.junctions_file}", file=sys.stderr)

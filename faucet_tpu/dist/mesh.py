@@ -40,3 +40,17 @@ def shard_rows(mesh: Mesh):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def fetch(a) -> np.ndarray:
+    """Materialize a (possibly multi-host global) jax array on this host.
+
+    Single-process: plain np.asarray. Multi-host: process_allgather —
+    every process must call this collectively (SPMD host phases)."""
+    if isinstance(a, np.ndarray):
+        return a
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)

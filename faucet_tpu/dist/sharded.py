@@ -40,7 +40,7 @@ from faucet_tpu.core import scan as SC
 from faucet_tpu.core import table as T
 from faucet_tpu.core.hashing import hash_pair
 from faucet_tpu.dist import route as R
-from faucet_tpu.dist.mesh import AXIS
+from faucet_tpu.dist.mesh import AXIS, fetch
 
 I32 = jnp.int32
 
@@ -65,10 +65,19 @@ def vec_counters(tbl: T.Table, n_shards: int) -> T.Table:
 
 def _load_local(cascade: BL.Cascade, bases, lens, *, cfg_local, n_shards,
                 shard_bits):
-    view = KM.kmerize(bases, lens, cfg_local.size_kmer)
-    khi = view.canon_hi.reshape(-1)
-    klo = view.canon_lo.reshape(-1)
-    mask = view.valid.reshape(-1)
+    k = cfg_local.size_kmer
+    if k <= 31:
+        view = KM.kmerize(bases, lens, k)
+        khi = view.canon_hi.reshape(-1)
+        klo = view.canon_lo.reshape(-1)
+        mask = view.valid.reshape(-1)
+    else:
+        from faucet_tpu.core import wide as WD
+
+        wv = WD.kmerize_wide(bases, lens, k)
+        khi = wv.key_hi.reshape(-1)
+        klo = wv.key_lo.reshape(-1)
+        mask = wv.valid.reshape(-1)
     owner = _owner(khi, klo, shard_bits)
     cap = _cap_for(khi.shape[0], n_shards)
     recv, rmask, info = R.route({"hi": khi, "lo": klo}, owner, mask,
@@ -107,19 +116,27 @@ def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
     # compacted update lanes can be dense in the worst case: full-size
     # per-peer buckets, so routing never drops what compaction kept
     capj = u.jhi.shape[0]
+    wide = cfg.size_kmer > 31
+    jp = {"hi": u.jhi, "lo": u.jlo, "cov8": u.cov8, "dist8": u.dist8}
+    if wide:
+        jp["words"] = u.jwords
     recv, rmask, info = R.route(
-        {"hi": u.jhi, "lo": u.jlo, "cov8": u.cov8, "dist8": u.dist8},
-        _owner(u.jhi, u.jlo, shard_bits), u.junc_mask, n_shards, capj)
-    junctions = T.upsert(junctions, recv["hi"], recv["lo"],
-                         (recv["cov8"], recv["dist8"]), rmask,
-                         modes=("add", "max"))
+        jp, _owner(u.jhi, u.jlo, shard_bits), u.junc_mask, n_shards, capj)
+    junctions = T.upsert(
+        junctions, recv["hi"], recv["lo"],
+        (recv["cov8"], recv["dist8"]) + ((recv["words"],) if wide else ()),
+        rmask, modes=("add", "max") + (("max",) if wide else ()))
     drops.append(info.dropped)
 
+    sp = {"hi": u.shi, "lo": u.slo, "cov": u.sink_cov}
+    if wide:
+        sp["words"] = u.swords
     recv, rmask, info = R.route(
-        {"hi": u.shi, "lo": u.slo, "cov": u.sink_cov},
-        _owner(u.shi, u.slo, shard_bits), u.sink_mask, n_shards, capj)
-    sinks = T.upsert(sinks, recv["hi"], recv["lo"], (recv["cov"],), rmask,
-                     modes=("add",))
+        sp, _owner(u.shi, u.slo, shard_bits), u.sink_mask, n_shards, capj)
+    sinks = T.upsert(
+        sinks, recv["hi"], recv["lo"],
+        (recv["cov"],) + ((recv["words"],) if wide else ()),
+        rmask, modes=("add",) + (("max",) if wide else ()))
     drops.append(info.dropped)
 
     total_drops = (sum(drops) + u.upd_dropped).reshape(1)
@@ -167,8 +184,17 @@ class ShardedStream:
             lambda a: jax.device_put(a, sh), tree)
 
     def shard_batch(self, bases, lens):
-        """Place a host batch row-sharded over the mesh."""
+        """Place a host batch row-sharded over the mesh.
+
+        Single-process: a plain sharded device_put. Multi-host: each
+        process contributes its local rows (data-parallel input,
+        SURVEY.md §2.2 DP row) and the global batch is their
+        concatenation along axis 0.
+        """
         sh = NamedSharding(self.mesh, P(AXIS))
+        if jax.process_count() > 1:
+            mk = jax.make_array_from_process_local_data
+            return (mk(sh, np.asarray(bases)), mk(sh, np.asarray(lens)))
         return (jax.device_put(bases, sh), jax.device_put(lens, sh))
 
     def load(self, cascade, bases, lens):
@@ -195,14 +221,20 @@ class ShardedPipeline:
         self.mesh = mesh
         self.metrics = metrics or Metrics(cfg.metrics_file)
         S = cfg.n_shards
+        # multi-host: each process feeds batch_reads/process_count rows
+        nproc = jax.process_count()
+        self.feed_cfg = dataclasses.replace(
+            cfg, batch_reads=max(1, cfg.batch_reads // nproc)) \
+            if nproc > 1 else cfg
         self.stream = ShardedStream(cfg, mesh)
         self.cascade = self.stream.place_state(
             _vec_cascade(BL.make_cascade(cfg), S))
+        wspec = (((4,), jnp.uint32),) if cfg.wide else ()
         self.junctions = self.stream.place_state(vec_counters(
             T.make(cfg.junction_cap,
-                   (((8,), jnp.int32), ((8,), jnp.uint16))), S))
+                   (((8,), jnp.int32), ((8,), jnp.uint16)) + wspec), S))
         self.sinks = self.stream.place_state(vec_counters(
-            T.make(cfg.sink_cap, (((), jnp.int32),)), S))
+            T.make(cfg.sink_cap, (((), jnp.int32),) + wspec), S))
 
     # ---- stream phases --------------------------------------------------
     def load_reads(self, reads):
@@ -210,17 +242,49 @@ class ShardedPipeline:
 
         m = self.metrics
         m.start("load")
-        for bases, lens in batch_iter(reads, self.cfg):
+        for bases, lens in batch_iter(reads, self.feed_cfg):
             self.load_batch(bases, lens)
         jax.block_until_ready(self.cascade)
         m.stop("load")
+
+    def load_batches(self, batches):
+        m = self.metrics
+        m.start("load")
+        for bases, lens in batches:
+            self.load_batch(bases, lens)
+        jax.block_until_ready(self.cascade)
+        m.stop("load")
+
+    def scan_batches(self, batches):
+        m = self.metrics
+        m.start("scan")
+        for bases, lens in batches:
+            self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def run_streaming(self, reads):
+        from faucet_tpu.pipeline import batch_iter
+
+        m = self.metrics
+        m.start("stream")
+        for bases, lens in batch_iter(reads, self.feed_cfg):
+            self.load_batch(bases, lens)
+            self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("stream")
+        g = self.build()
+        g = self.clean_graph(g)
+        self.metrics.add("contigs", len(g.live()))
+        self.metrics.emit("assembly_done", stats=g.stats())
+        return g
 
     def load_batch(self, bases, lens):
         self.cascade, drops = self.stream.load(self.cascade,
                                                jnp.asarray(bases),
                                                jnp.asarray(lens))
         self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
-        self.metrics.add("route_dropped", int(jnp.sum(drops)))
+        self.metrics.add("route_dropped", int(fetch(drops).sum()))
 
     def scan_reads(self, reads):
         from faucet_tpu.pipeline import batch_iter
@@ -238,9 +302,9 @@ class ShardedPipeline:
                                    self.sinks, jnp.asarray(bases),
                                    jnp.asarray(lens))
         self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
-        self.metrics.add("solid_windows", int(jnp.sum(n_solid)))
-        self.metrics.add("junction_hits", int(jnp.sum(n_junc)))
-        self.metrics.add("route_dropped", int(jnp.sum(drops)))
+        self.metrics.add("solid_windows", int(fetch(n_solid).sum()))
+        self.metrics.add("junction_hits", int(fetch(n_junc).sum()))
+        self.metrics.add("route_dropped", int(fetch(drops).sum()))
 
     # ---- host phases (global arrays == single-device layout) ------------
     def build(self):
@@ -251,8 +315,8 @@ class ShardedPipeline:
         g = GraphBuilder(self.cfg, self.cascade, self.junctions,
                          self.sinks).build()
         m.stop("build")
-        m.add("junctions", int(jnp.sum(self.junctions.count)))
-        m.add("sink_anchors", int(jnp.sum(self.sinks.count)))
+        m.add("junctions", int(fetch(self.junctions.count).sum()))
+        m.add("sink_anchors", int(fetch(self.sinks.count).sum()))
         m.add("contigs_raw", len(g.live()))
         return g
 

@@ -25,6 +25,7 @@ from faucet_tpu.core import kmer as KM
 from faucet_tpu.core import table as T
 from faucet_tpu.core.kmer import decode_kmer, revcomp_code_np, revcomp_seq
 from faucet_tpu.graph import walk as W
+from faucet_tpu.dist.mesh import fetch
 from faucet_tpu.graph.model import Contig, ContigGraph, End
 
 _CODEBOOK = "ACGT"
@@ -36,15 +37,16 @@ def _to_int(hi, lo):
 
 
 def extract_table(tbl: T.Table):
-    """Occupied rows of a device table -> host numpy dict."""
-    keys_hi = np.asarray(tbl.keys_hi)
+    """Occupied rows of a device table -> host numpy dict (multi-host:
+    collective fetch of the global arrays)."""
+    keys_hi = fetch(tbl.keys_hi)
     occ = keys_hi != np.uint32(0xFFFFFFFF)
     out = {
         "hi": keys_hi[occ],
-        "lo": np.asarray(tbl.keys_lo)[occ],
+        "lo": fetch(tbl.keys_lo)[occ],
     }
     for i, v in enumerate(tbl.vals):
-        out[f"v{i}"] = np.asarray(v)[occ]
+        out[f"v{i}"] = fetch(v)[occ]
     return out
 
 
@@ -88,8 +90,8 @@ class _NarrowCodec:
 
     def finish(self, fr, n):
         chi, clo, _ = KM.canon_of(fr.fhi, fr.flo, fr.rhi, fr.rlo)
-        hi = np.asarray(chi)[:n]
-        lo = np.asarray(clo)[:n]
+        hi = fetch(chi)[:n]
+        lo = fetch(clo)[:n]
         return {
             "end_key": _to_int(hi, lo),
             "end_str": [decode_kmer(int(hi[i]), int(lo[i]), self.k)
@@ -144,7 +146,7 @@ class _WideCodec:
 
         canon, _ = canon_of_wide(fr.fwd, fr.rc)
         khi, klo = fingerprint(canon)
-        words = np.stack([np.asarray(w)[:n] for w in canon], axis=1)
+        words = np.stack([fetch(w)[:n] for w in canon], axis=1)
         return {
             "end_key": _to_int(np.asarray(khi)[:n], np.asarray(klo)[:n]),
             "end_str": [decode_kmer_wide(words[i], self.k)
@@ -196,17 +198,17 @@ class GraphBuilder:
         while total < cfg.max_contig_len:
             fr, bases = runner(self.cascade, self.junctions, fr,
                                n_steps=cfg.walk_round_steps, cfg=cfg)
-            strips.append(np.asarray(bases))
+            strips.append(fetch(bases))
             total += cfg.walk_round_steps
-            if not bool(jnp.any(fr.active)):
+            if not bool(fetch(jnp.any(fr.active))):
                 break
         allb = np.concatenate(strips, axis=1) if strips else np.zeros(
             (Wp, 0), np.uint8)
         out = {
             "bases": allb[:n],
-            "end_kind": np.asarray(fr.end_kind)[:n],
-            "entry_slot": np.asarray(fr.entry_slot)[:n],
-            "steps": np.asarray(fr.steps)[:n],
+            "end_kind": fetch(fr.end_kind)[:n],
+            "entry_slot": fetch(fr.entry_slot)[:n],
+            "steps": fetch(fr.steps)[:n],
         }
         out.update(codec.finish(fr, n))
         return out
