@@ -49,7 +49,7 @@ class Config:
     cascade_cap_a_override: Optional[int] = None  # local sizes must be
     cascade_cap_b_override: Optional[int] = None  # exactly global/n_shards
     max_contig_len: int = 200_000          # global walk bound (bases)
-    scan_update_cap: int = 1 << 15         # junction/sink update lanes kept
+    scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
     walk_round_steps: int = 256            # frontier steps per walk round
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len

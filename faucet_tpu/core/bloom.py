@@ -52,6 +52,23 @@ BLOCK_BITS = 9          # 512-bit blocks = 16 words = 64 B
 BLOCK_WORDS = 1 << (BLOCK_BITS - 5)
 
 
+def _block_h1r_h2(khi, klo, log2_bits: int, shard_bits: int = 0):
+    """Shared blocked-Bloom addressing: (block index, rotated h1, h2).
+
+    bit_j of a key = (h1r + (j+1)*h2) & 511 inside `block` — the single
+    source of truth for both the XLA path and the Pallas insert kernel
+    (kernels/bloom_scatter.scatter_or_keys)."""
+    h1, h2 = hash_pair(khi, klo)
+    local_block_bits = log2_bits - shard_bits - BLOCK_BITS
+    block = h1 & np.uint32((1 << local_block_bits) - 1)
+    if shard_bits:
+        owner = (h1 >> np.uint32(32 - shard_bits)).astype(U32)
+        block = block | (owner << np.uint32(local_block_bits))
+    # bit stream decorrelated from the block choice via h1's high half
+    h1r = (h1 >> np.uint32(16)) | (h1 << np.uint32(16))
+    return block, h1r, h2
+
+
 def _block_and_bits(khi, klo, n_hash: int, log2_bits: int,
                     shard_bits: int = 0):
     """Blocked-Bloom addressing: all n_hash probe bits of a key live in
@@ -68,15 +85,8 @@ def _block_and_bits(khi, klo, n_hash: int, log2_bits: int,
 
     Returns (block uint32[...], bits uint32[..., n_hash] in [0, 512)).
     """
-    h1, h2 = hash_pair(khi, klo)
-    local_block_bits = log2_bits - shard_bits - BLOCK_BITS
-    block = h1 & np.uint32((1 << local_block_bits) - 1)
-    if shard_bits:
-        owner = (h1 >> np.uint32(32 - shard_bits)).astype(U32)
-        block = block | (owner << np.uint32(local_block_bits))
+    block, h1r, h2 = _block_h1r_h2(khi, klo, log2_bits, shard_bits)
     i = jnp.arange(n_hash, dtype=U32)
-    # bit stream decorrelated from the block choice via h1's high half
-    h1r = (h1 >> np.uint32(16)) | (h1 << np.uint32(16))
     bits = (h1r[..., None] + (i + np.uint32(1)) * h2[..., None]) \
         & np.uint32((1 << BLOCK_BITS) - 1)
     return block, bits
@@ -90,12 +100,31 @@ def _positions(khi, klo, n_hash: int, log2_bits: int,
     return (block[..., None] << np.uint32(BLOCK_BITS)) | bits
 
 
+def _use_pallas() -> bool:
+    import jax as _jax
+
+    try:
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
                  log2_bits: int, shard_bits: int = 0) -> Bloom:
     """OR all probe bits of the masked keys into the filter.
 
-    khi/klo/mask: 1-D [N].
+    khi/klo/mask: 1-D [N]. On TPU the insert runs as the Pallas
+    scatter-OR kernel (kernels/bloom_scatter) — XLA scatters serialize at
+    ~100ns/element; the kernel does one aligned VMEM row RMW per key.
     """
+    if _use_pallas():
+        from faucet_tpu.kernels.bloom_scatter import (SENTINEL,
+                                                      scatter_or_keys)
+
+        block, h1r, h2 = _block_h1r_h2(khi, klo, log2_bits, shard_bits)
+        block = jnp.where(mask, block, SENTINEL)
+        return Bloom(words=scatter_or_keys(b.words, block, h1r, h2,
+                                           n_hash))
     pos = _positions(khi, klo, n_hash, log2_bits,
                      shard_bits).reshape(-1)  # [N*h]
     m = jnp.broadcast_to(mask[:, None], (mask.shape[0], n_hash)).reshape(-1)
