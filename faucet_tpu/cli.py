@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--min_contig_cov", type=float, default=2.5)
     p.add_argument("--tip_len_factor", type=float, default=2.0)
+    p.add_argument("-second_kmer", type=int, default=None,
+                   help="dual-k pass (BASELINE config 2): after the "
+                        "-size_kmer assembly, reassemble reads + chunked "
+                        "first-pass contigs at this larger k")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu); applied via "
                         "jax.config before backend init, which works even "
@@ -202,6 +206,32 @@ def main(argv=None) -> int:
         g = pipe.clean_graph(g)
         metrics.add("contigs", len(g.live()))
         metrics.emit("assembly_done", stats=g.stats())
+
+    if args.second_kmer and not resumed:
+        # dual-k second pass: reads + chunked first-pass contigs at k2
+        import dataclasses as _dc
+
+        from faucet_tpu.pipeline import contig_chunks
+
+        k2 = args.second_kmer
+        cfg2 = _dc.replace(cfg, size_kmer=k2,
+                           file_prefix=cfg.file_prefix + f".k{k2}")
+        pipe2 = Pipeline(cfg2, Metrics(cfg.metrics_file))
+        chunks = contig_chunks(g, cfg.max_read_length, k2)
+        print(f"[faucet_tpu] dual-k second pass at k={k2} "
+              f"({len(chunks) // 2} contig chunks)", file=sys.stderr)
+
+        def second_reads():
+            yield from read_seqs(cfg.read_load_file, cfg.fastq)
+            yield from chunks
+
+        pipe2.load_reads(second_reads())
+        pipe2.scan_reads(second_reads())
+        g2 = pipe2.build()
+        g2 = pipe2.clean_graph(g2)
+        pipe2.metrics.add("contigs", len(g2.live()))
+        pipe2.metrics.emit("dual_k_done", stats=g2.stats())
+        g = g2
 
     write_contigs(g, f"{cfg.file_prefix}.fasta")
     write_gfa(g, f"{cfg.file_prefix}.gfa")

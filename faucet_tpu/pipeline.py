@@ -30,6 +30,26 @@ from faucet_tpu.graph.model import ContigGraph
 from faucet_tpu.metrics import Metrics
 
 
+def contig_chunks(g: ContigGraph, max_len: int, k: int) -> List[str]:
+    """Chunk first-pass contigs into read-sized windows for a second pass
+    at larger k (the dual-k workflow, BASELINE config 2).
+
+    Windows overlap by k-1 so every k-mer of a contig survives chunking;
+    each chunk is emitted twice so the cascade marks its k-mers solid.
+    """
+    out: List[str] = []
+    stride = max(1, max_len - (k - 1))
+    for i in g.live():
+        c = g.contigs[i]
+        seq = c.seq + (c.seq[: k - 1] if c.circular else "")
+        for start in range(0, max(1, len(seq) - k + 1), stride):
+            w = seq[start : start + max_len]
+            if len(w) >= k:
+                out.append(w)
+                out.append(w)
+    return out
+
+
 def batch_iter(reads: Iterable[str], cfg: Config
                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Pack a read stream into fixed-shape [batch_reads, max_read_length]
