@@ -105,7 +105,14 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
     @jax.jit
     def run(state):
         state, n_solid = jax.lax.scan(step, state, None, length=n_batches)
-        return state, jnp.sum(n_solid)
+        # checksum touching every state leaf: fetching it forces the whole
+        # chain to execute (block_until_ready is a no-op on the axon
+        # tunnel backend; only a host fetch synchronizes)
+        leaves = [l for l in jax.tree_util.tree_leaves(state)
+                  if hasattr(l, "dtype")]
+        chk = sum(l.reshape(-1)[:64].astype(jnp.uint32).sum()
+                  for l in leaves)
+        return state, jnp.sum(n_solid), chk
 
     def fresh_state(s):
         cascade = BL.make_cascade(cfg)
@@ -114,12 +121,12 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
         sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
         return (cascade, junctions, sinks, jax.random.PRNGKey(s))
 
-    # warmup/compile
-    out = run(fresh_state(1))
-    jax.block_until_ready(out)
+    # warmup/compile; the scalar fetch synchronizes
+    _, _, chk = run(fresh_state(1))
+    np.asarray(chk)
     t0 = time.perf_counter()
-    out, n_solid = run(fresh_state(2))
-    jax.block_until_ready(out)
+    out, n_solid, chk = run(fresh_state(2))
+    np.asarray(chk)
     dt = time.perf_counter() - t0
     reads = B * n_batches
     windows = reads * (L - cfg.size_kmer + 1)
@@ -188,7 +195,7 @@ def main():
     notes = {
         "reads": reads, "seconds": round(dt, 4),
         "windows": windows, "solid_windows": n_solid,
-        "kmer_probes_per_s": round(windows * (cfg.n_hash + 9) / dt),
+        "kmer_probes_per_s": round(windows * 10 / dt),  # self+8ext+insert
         "cpu_1core_reads_per_s": base,
         "config": "E.coli-scale synthetic, k=31, 50x-equivalent stream,"
                   " 100bp reads, single-chip Bloom cascade",

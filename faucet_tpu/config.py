@@ -48,6 +48,8 @@ class Config:
     bloom_b_log2_override: Optional[int] = None  # local_shard(): shard-
     cascade_cap_a_override: Optional[int] = None  # local sizes must be
     cascade_cap_b_override: Optional[int] = None  # exactly global/n_shards
+    n_hash_a_override: Optional[int] = None  # pinned by local_shard() so
+    n_hash_b_override: Optional[int] = None  # shard bits == global bits
     max_contig_len: int = 200_000          # global walk bound (bases)
     scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
@@ -92,6 +94,36 @@ class Config:
         if self.two_hash:
             return 2
         return max(1, round(-math.log2(self.fp_rate)))
+
+    def _min_hashes(self, m_bits: int, n_items: int) -> int:
+        """Smallest hash count meeting fp_rate at the pow2-rounded size.
+
+        TPU redesign: the reference uses the information-optimal count for
+        its exact sizing; our power-of-two rounding leaves bits/key slack,
+        so FEWER hashes reach the same fp target — and every hash is a
+        VPU op in the probe/insert kernels. The 1.25 load inflation
+        covers the 512-bit blocked layout's per-block variance penalty
+        (measured fp stays under fp_rate, tests/unit/test_bloom.py)."""
+        if self.two_hash:
+            return 2
+        n_eff = max(1, int(1.25 * n_items))
+        for k in range(1, 17):
+            if (1 - math.exp(-k * n_eff / m_bits)) ** k <= self.fp_rate:
+                return k
+        return max(1, round(-math.log2(self.fp_rate)))
+
+    @property
+    def n_hash_a(self) -> int:
+        if self.n_hash_a_override is not None:
+            return self.n_hash_a_override
+        return self._min_hashes(self.bloom_a_bits,
+                                self.estimated_kmers + self.singletons)
+
+    @property
+    def n_hash_b(self) -> int:
+        if self.n_hash_b_override is not None:
+            return self.n_hash_b_override
+        return self._min_hashes(self.bloom_b_bits, self.estimated_kmers)
 
     def bloom_bits(self, n_items: int) -> int:
         """Bits for an n_items Bloom at fp_rate; rounded to a power of two
@@ -164,6 +196,8 @@ class Config:
         sb = self.shard_bits
         return _dc.replace(
             self, n_shards=1,
+            n_hash_a_override=self.n_hash_a,
+            n_hash_b_override=self.n_hash_b,
             bloom_a_log2_override=self.bloom_a_bits.bit_length() - 1 - sb,
             bloom_b_log2_override=self.bloom_b_bits.bit_length() - 1 - sb,
             cascade_cap_a_override=self.cascade_cap_a >> sb,

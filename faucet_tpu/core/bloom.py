@@ -163,7 +163,19 @@ def bloom_insert(b: Bloom, khi, klo, mask, n_hash: int,
 
 def bloom_contains(b: Bloom, khi, klo, mask, n_hash: int, log2_bits: int,
                    shard_bits: int = 0):
-    """One 64 B row gather per key, then in-register bit tests."""
+    """Membership probes. On TPU: the Pallas VMEM-resident probe kernel
+    (kernels/probe.py) — XLA's row gather is ~145 ns/row on this chip,
+    the kernel ~4x less. CPU fallback: row gather + bit tests."""
+    if _use_pallas():
+        from faucet_tpu.kernels.probe import SENTINEL as PSENT
+        from faucet_tpu.kernels.probe import bloom_probe_keys
+
+        shape = khi.shape
+        block, h1r, h2 = _block_h1r_h2(khi.reshape(-1), klo.reshape(-1),
+                                       log2_bits, shard_bits)
+        block = jnp.where(jnp.asarray(mask).reshape(-1), block, PSENT)
+        return bloom_probe_keys(b.words, block, h1r, h2,
+                                n_hash).reshape(shape)
     block, bits = _block_and_bits(khi, klo, n_hash, log2_bits, shard_bits)
     rows = b.words.reshape(-1, BLOCK_WORDS)[block.reshape(-1)]
     rows = rows.reshape(block.shape + (BLOCK_WORDS,))
@@ -216,8 +228,26 @@ def _batch_counts(khi, klo, mask):
 def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
     """Phase-1 load: if A contains k: B.add(k) else A.add(k), batched
     (SURVEY.md §A.2), preserving sequential semantics via in-batch counts.
+
+    On TPU the whole cascade runs as ONE fused Pallas pass
+    (kernels/cascade.py): keys are processed sequentially in VMEM, which
+    IS the reference semantics — provably bit-identical to the sort+count
+    formulation below (tests/unit/test_cascade_kernel.py).
     """
     sb = cfg.shard_bits
+    if not cfg.exact and _use_pallas():
+        from faucet_tpu.kernels.cascade import (SENTINEL as CSENT,
+                                                cascade_insert_fused)
+
+        la = cfg.bloom_a_bits.bit_length() - 1
+        lb = cfg.bloom_b_bits.bit_length() - 1
+        block_a, h1r, h2 = _block_h1r_h2(khi, klo, la, sb)
+        block_b, _, _ = _block_h1r_h2(khi, klo, lb, sb)
+        block_a = jnp.where(mask, block_a, CSENT)
+        aw, bw = cascade_insert_fused(c.a_bloom.words, c.b_bloom.words,
+                                      block_a, block_b, h1r, h2,
+                                      cfg.n_hash_a, cfg.n_hash_b)
+        return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw))
     skhi, sklo, counts, rep = _batch_counts(khi, klo, mask)
     if cfg.exact:
         in_a = T.contains(c.a_table, skhi, sklo, rep, shard_bits=sb)
@@ -230,13 +260,14 @@ def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
                              shard_bits=sb))
     la = cfg.bloom_a_bits.bit_length() - 1
     lb = cfg.bloom_b_bits.bit_length() - 1
-    nh = cfg.n_hash
-    in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, nh, la, sb)
+    in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, cfg.n_hash_a, la, sb)
     add_b = rep & (in_a | (counts >= 2))
     add_a = rep & ~in_a
     return c._replace(
-        a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, nh, la, sb),
-        b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, nh, lb, sb))
+        a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, cfg.n_hash_a,
+                             la, sb),
+        b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, cfg.n_hash_b,
+                             lb, sb))
 
 
 def cascade_solid(c: Cascade, khi, klo, mask, cfg):
@@ -248,4 +279,4 @@ def cascade_solid(c: Cascade, khi, klo, mask, cfg):
                        jnp.asarray(mask).reshape(-1), shard_bits=sb)
         return f.reshape(shape)
     lb = cfg.bloom_b_bits.bit_length() - 1
-    return bloom_contains(c.b_bloom, khi, klo, mask, cfg.n_hash, lb, sb)
+    return bloom_contains(c.b_bloom, khi, klo, mask, cfg.n_hash_b, lb, sb)

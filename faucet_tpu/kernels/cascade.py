@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused Bloom-cascade insert (probe A + insert A/B).
+
+Reference analogue: the phase-1 load loop `if A.contains(k): B.add(k)
+else A.add(k)` (SURVEY.md §A.2, ref:src/Faucet.cpp driver + src/Bloom.*
+[C:high]). One sequential in-VMEM pass per key replaces the previous
+four-stage XLA+Pallas pipeline (2-key batch sort for duplicate counts,
+gather-probe of A, Pallas insert pass over A, Pallas insert pass over B):
+
+  - filter B is VMEM-resident for the whole kernel; filter A streams
+    through VMEM in tiles (grid dim 0) — at bench scale A is 16 MB and
+    this chip's VMEM fits ~8 MB in+out blocks, so A takes a few tiles;
+  - keys are processed IN STREAM ORDER by a scalar loop, so the cascade
+    is EXACTLY the reference's sequential semantics — a k-mer occurring
+    twice in one batch primes A with its first occurrence and lands in B
+    with its second, with no duplicate-counting machinery;
+  - A and B share the in-block bit stream bit_j = (h1r + (j+1)*h2) & 511
+    (core/bloom._block_and_bits), so the per-key bit math is computed
+    once; only the 512-bit-block placement differs.
+
+Layout invariants (must match core/bloom exactly): filters are uint32
+words reshaped [W/128, 128]; 512-bit block b occupies row b>>3, lanes
+16*(b&7)..16*(b&7)+15; Mosaic dynamic sublane slices are 8-aligned, so
+each update RMWs the aligned (8, 128) window around the target row.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+_LANES = 128
+_KEY_CHUNK = 1 << 11
+# A-tile sizing: in+out VMEM blocks both materialize, plus B in+out;
+# keep 2*(tile + B) within the measured ~16 MB VMEM capacity
+# (bench/micro_profile.py --vmem: 8 MB in + 8 MB out compiles, 12+12
+# does not). Fewer tiles = fewer replays of the key stream.
+_VMEM_BUDGET = 22 * (1 << 20)
+
+
+def _window(rel_block):
+    """block index (within tile) -> (aligned row8, sublane, lane0)."""
+    row = (rel_block >> np.uint32(3)).astype(jnp.int32)
+    sub = (row & 7).astype(jnp.uint32)
+    row8 = pl.multiple_of((row >> 3) << 3, 8)
+    lane0 = (rel_block & np.uint32(7)) * np.uint32(16)
+    return row8, sub, lane0
+
+
+def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, a_in, b_in, a_out, b_out, *,
+            tile_words: int, n_hash_a: int, n_hash_b: int):
+    tile_blocks = tile_words // 16
+    base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
+            np.uint32(_LANES) +
+            jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        a_out[:] = a_in[:]
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(0) == 0))
+    def _():
+        b_out[:] = b_in[:]
+
+    def mask_at(sub, lane0, h1r, h2, n_hash):
+        m = jnp.zeros((8, _LANES), jnp.uint32)
+        tbase = sub * np.uint32(_LANES) + lane0
+        for j in range(n_hash):
+            bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
+            tgt = tbase + (bit >> np.uint32(5))
+            m = m | jnp.where(flat == tgt,
+                              jnp.uint32(1) << (bit & np.uint32(31)),
+                              np.uint32(0))
+        return m
+
+    def body(i, _):
+        blk_a = ba_ref[i]
+        rel_a = blk_a - base
+
+        @pl.when((blk_a != SENTINEL) & (rel_a < tile_blocks))
+        def _():
+            h1r = h1r_ref[i]
+            h2 = h2_ref[i]
+            row8a, sub_a, lane0a = _window(rel_a)
+            mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+            cur_a = a_out[pl.ds(row8a, 8), :]
+            in_a = jnp.sum((cur_a & mask_a) != mask_a) == 0
+
+            @pl.when(in_a)
+            def _():
+                row8b, sub_b, lane0b = _window(bb_ref[i])
+                mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+                cur_b = b_out[pl.ds(row8b, 8), :]
+                b_out[pl.ds(row8b, 8), :] = cur_b | mask_b
+
+            @pl.when(jnp.logical_not(in_a))
+            def _():
+                a_out[pl.ds(row8a, 8), :] = cur_a | mask_a
+
+        return 0
+
+    jax.lax.fori_loop(0, ba_ref.shape[0], body, 0)
+
+
+def _pick_tile_words(wa: int, wb: int) -> int:
+    budget_words = _VMEM_BUDGET // 4 // 2 - wb  # /2: in+out blocks
+    if wa <= budget_words:
+        return wa
+    tile = 1 << 21  # start at 8 MB
+    while tile > budget_words or wa % tile:
+        tile >>= 1
+    assert tile >= 4096, (wa, wb)
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
+                                             "interpret"))
+def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
+                         block_a: jnp.ndarray, block_b: jnp.ndarray,
+                         h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
+                         n_hash_b: int = None, interpret: bool = False):
+    if n_hash_b is None:
+        n_hash_b = n_hash_a
+    """For each key (stream order): if A has all its bits, set them in B,
+    else set them in A. block_a == SENTINEL skips the key. Returns the
+    updated (a_words, b_words)."""
+    wa, wb = a_words.shape[0], b_words.shape[0]
+    assert wa % _LANES == 0 and wb % _LANES == 0
+    tile_words = _pick_tile_words(wa, wb)
+    n_tiles = wa // tile_words
+    n = block_a.shape[0]
+    chunk = min(_KEY_CHUNK, max(n, 8))
+    pad = (-n) % chunk
+    if pad:
+        fill = lambda a, v: jnp.concatenate(
+            [a, jnp.full((pad,), v, jnp.uint32)])
+        block_a, block_b, h1r, h2 = (fill(block_a, SENTINEL),
+                                     fill(block_b, 0), fill(h1r, 0),
+                                     fill(h2, 0))
+    n_chunks = block_a.shape[0] // chunk
+
+    spec_s = pl.BlockSpec((chunk,), lambda t, c: (c,),
+                          memory_space=pltpu.SMEM)
+    spec_a = pl.BlockSpec((tile_words // _LANES, _LANES),
+                          lambda t, c: (t, 0), memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((wb // _LANES, _LANES), lambda t, c: (0, 0),
+                          memory_space=pltpu.VMEM)
+    a_out, b_out = pl.pallas_call(
+        functools.partial(_kernel, tile_words=tile_words,
+                          n_hash_a=n_hash_a, n_hash_b=n_hash_b),
+        grid=(n_tiles, n_chunks),
+        in_specs=[spec_s, spec_s, spec_s, spec_s, spec_a, spec_b],
+        out_specs=(spec_a, spec_b),
+        out_shape=(jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32)),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(block_a, block_b, h1r, h2,
+      a_words.reshape(wa // _LANES, _LANES),
+      b_words.reshape(wb // _LANES, _LANES))
+    return a_out.reshape(wa), b_out.reshape(wb)

@@ -1,0 +1,103 @@
+"""Fused cascade kernel (kernels/cascade.py) vs the XLA reference path.
+
+The kernel's sequential in-VMEM semantics must produce bit-identical
+filters to core/bloom.cascade_insert's sort+count formulation (the two
+are provably equivalent: a k-mer's c-th in-batch occurrence sees A primed
+by occurrence c-1). Runs in Pallas interpret mode on the CPU mesh.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from faucet_tpu.config import Config
+from faucet_tpu.core import bloom as BL
+from faucet_tpu.core.hashing import hash_pair
+from faucet_tpu.kernels.cascade import SENTINEL, cascade_insert_fused
+
+
+def _blocks(khi, klo, la, lb, mask, shard_bits=0):
+    block_a, h1r, h2 = BL._block_h1r_h2(khi, klo, la, shard_bits)
+    block_b, _, _ = BL._block_h1r_h2(khi, klo, lb, shard_bits)
+    block_a = jnp.where(mask, block_a, SENTINEL)
+    return block_a, block_b, h1r, h2
+
+
+@pytest.mark.parametrize("la,lb,n,dup", [(18, 16, 500, False),
+                                         (20, 17, 2000, True),
+                                         (23, 20, 4096, True)])
+def test_fused_matches_reference(rng, la, lb, n, dup):
+    cfg = Config(size_kmer=31, max_read_length=64,
+                 bloom_a_log2_override=la, bloom_b_log2_override=lb)
+    khi = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    klo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    if dup:  # force in-batch duplicates incl. triples
+        khi[n // 2:] = khi[: n - n // 2]
+        klo[n // 2:] = klo[: n - n // 2]
+        khi[-n // 4:] = khi[: n // 4]
+        klo[-n // 4:] = klo[: n // 4]
+    mask = rng.random(n) < 0.9
+
+    # reference path (cfg.exact False, CPU -> XLA sort+count formulation)
+    c0 = BL.make_cascade(cfg)
+    ref = BL.cascade_insert(c0, jnp.asarray(khi), jnp.asarray(klo),
+                            jnp.asarray(mask), cfg)
+    # second batch to exercise cross-batch A state
+    ref = BL.cascade_insert(ref, jnp.asarray(khi[::-1].copy()),
+                            jnp.asarray(klo[::-1].copy()),
+                            jnp.asarray(mask[::-1].copy()), cfg)
+
+    ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), la, lb,
+                              jnp.asarray(mask))
+    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+                                  ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
+                                  interpret=True)
+    ba2, bb2, h1r2, h22 = _blocks(jnp.asarray(khi[::-1].copy()),
+                                  jnp.asarray(klo[::-1].copy()), la, lb,
+                                  jnp.asarray(mask[::-1].copy()))
+    aw, bw = cascade_insert_fused(aw, bw, ba2, bb2, h1r2, h22, cfg.n_hash_a, cfg.n_hash_b,
+                                  interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(aw),
+                                  np.asarray(ref.a_bloom.words))
+    np.testing.assert_array_equal(np.asarray(bw),
+                                  np.asarray(ref.b_bloom.words))
+
+
+def test_fused_sharded_addressing(rng):
+    """Owner-prefixed addressing (shard_bits>0) must slice per shard."""
+    cfg = Config(size_kmer=31, max_read_length=64, n_shards=4,
+                 bloom_a_log2_override=20, bloom_b_log2_override=17)
+    n = 1024
+    khi = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    klo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    mask = np.ones(n, bool)
+    c0 = BL.make_cascade(cfg)
+    ref = BL.cascade_insert(c0, jnp.asarray(khi), jnp.asarray(klo),
+                            jnp.asarray(mask), cfg)
+    ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 20, 17,
+                              jnp.asarray(mask), shard_bits=2)
+    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+                                  ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(aw),
+                                  np.asarray(ref.a_bloom.words))
+    np.testing.assert_array_equal(np.asarray(bw),
+                                  np.asarray(ref.b_bloom.words))
+
+
+def test_fused_empty_and_all_masked(rng):
+    cfg = Config(size_kmer=31, max_read_length=64,
+                 bloom_a_log2_override=18, bloom_b_log2_override=16)
+    c0 = BL.make_cascade(cfg)
+    n = 64
+    khi = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    klo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    mask = np.zeros(n, bool)
+    ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 18, 16,
+                              jnp.asarray(mask))
+    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+                                  ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
+                                  interpret=True)
+    assert np.asarray(aw).sum() == 0
+    assert np.asarray(bw).sum() == 0
