@@ -39,7 +39,9 @@ def build(cfg_kw=None):
     kw = dict(size_kmer=31, max_read_length=100, batch_reads=8192,
               estimated_kmers=2_000_000, singletons=8_000_000,
               junction_capacity=1 << 18, sink_capacity=1 << 21,
-              fp_rate=0.01)
+              fp_rate=0.01,
+              junction_detect=os.environ.get("FAUCET_JUNCTION_DETECT",
+                                             "auto"))
     kw.update(cfg_kw or {})
     return Config(**kw)
 
@@ -78,16 +80,22 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
 
     mode = os.environ.get("FAUCET_BENCH_MODE", "both")
 
+    use_nodes = cfg.use_node_junctions
+
     def step(carry, _):
-        cascade, junctions, sinks, key = carry
+        cascade, node_cascade, junctions, sinks, key = carry
         key, kb = jax.random.split(key)
         bases, lens = make_batch(kb)
         n_solid = jnp.zeros((), jnp.int32)
         if mode in ("both", "load", "loadscan"):
-            cascade = SC.load_batch(cascade, bases, lens, cfg)
+            if use_nodes:
+                cascade, node_cascade = SC.load_batch_nodes(
+                    cascade, node_cascade, bases, lens, cfg)
+            else:
+                cascade = SC.load_batch(cascade, bases, lens, cfg)
         if mode in ("both", "scan", "loadscan"):
             res = SC.scan_batch(cascade, junctions, sinks, bases, lens,
-                                cfg)
+                                cfg, node_cascade if use_nodes else None)
             junctions, sinks, n_solid = res.junctions, res.sinks, \
                 res.n_solid
         if mode == "kmerize":
@@ -100,7 +108,7 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
                 lambda h, l, m: BL.cascade_solid(cascade, h, l, m, cfg),
                 bases, lens, cfg)
             n_solid = u.n_solid
-        return (cascade, junctions, sinks, key), n_solid
+        return (cascade, node_cascade, junctions, sinks, key), n_solid
 
     @jax.jit
     def run(state):
@@ -116,10 +124,13 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
 
     def fresh_state(s):
         cascade = BL.make_cascade(cfg)
+        node_cascade = (BL.make_cascade(cfg.node_view()) if use_nodes
+                        else jnp.zeros((), jnp.uint32))
         junctions = T.make(cfg.junction_cap,
                            (((8,), jnp.int32), ((8,), jnp.uint16)))
         sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
-        return (cascade, junctions, sinks, jax.random.PRNGKey(s))
+        return (cascade, node_cascade, junctions, sinks,
+                jax.random.PRNGKey(s))
 
     # warmup/compile; the scalar fetch synchronizes
     _, _, chk = run(fresh_state(1))

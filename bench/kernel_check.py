@@ -62,7 +62,7 @@ def main():
         # the sort+count formulation, with the pure-XLA gather/scatter
         # internals (bloom_contains/insert would auto-select the kernels
         # on this backend)
-        skhi, sklo, counts, rep = BL._batch_counts(khi, klo, mask)
+        skhi, sklo, counts, rep, _sidx = BL._batch_counts(khi, klo, mask)
         block, bits = BL._block_and_bits(skhi, sklo, nha, la)
         rows = c.a_bloom.words.reshape(-1, BL.BLOCK_WORDS)[block]
         w = jnp.take_along_axis(rows, (bits >> jnp.uint32(5))
@@ -115,8 +115,10 @@ def main():
         block_a, h1r, h2 = BL._block_h1r_h2(khi, klo, la)
         block_b, _, _ = BL._block_h1r_h2(khi, klo, lb)
         block_a = jnp.where(mask, block_a, SENTINEL)
-        return cascade_insert_fused(c.a_bloom.words, c.b_bloom.words,
-                                    block_a, block_b, h1r, h2, nha, nhb)
+        aw, bw, _nb = cascade_insert_fused(c.a_bloom.words,
+                                           c.b_bloom.words, block_a,
+                                           block_b, h1r, h2, nha, nhb)
+        return aw, bw
 
     aw_new, bw_new = fused_path(c0, khi, klo, mask)
     eq_a = fetch_scalar(jnp.array_equal(aw_ref, aw_new))
@@ -179,8 +181,8 @@ def main():
         block_a, h1r, h2 = BL._block_h1r_h2(kh, klo, la)
         block_b, _, _ = BL._block_h1r_h2(kh, klo, lb)
         block_a = jnp.where(mask, block_a, SENTINEL)
-        aw2, bw2 = cascade_insert_fused(aw, bw, block_a, block_b, h1r, h2,
-                                        nha, nhb)
+        aw2, bw2, _nb = cascade_insert_fused(aw, bw, block_a, block_b,
+                                             h1r, h2, nha, nhb)
         return (aw2, bw2, mut(kh, jnp.uint32(1)))
     timeit_dev(cas_step, (c0.a_bloom.words, c0.b_bloom.words, khi),
                f"fused cascade 573k keys (A 16MB, nh={nha}/{nhb})")

@@ -142,7 +142,7 @@ def profile_stages():
     # --- 2-key sort (batch counts) ---
     def bc_step(s):
         kh, kl = s
-        sh, sl, cnt, rep = BL._batch_counts(kh, kl, valid)
+        sh, sl, cnt, rep, _si = BL._batch_counts(kh, kl, valid)
         return (mut(cnt[0], kh), sl)
     timeit_dev(bc_step, (khi, klo), "_batch_counts 2-key sort 573k")
 

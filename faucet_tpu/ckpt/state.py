@@ -52,23 +52,39 @@ def _table_from(prefix: str, z) -> T.Table:
         dropped=jnp.asarray(z[f"{prefix}_dropped"]))
 
 
-def save_bloom(path: str, cfg: Config, cascade: BL.Cascade):
+def save_bloom(path: str, cfg: Config, cascade: BL.Cascade,
+               node_cascade: BL.Cascade = None):
+    extra = {}
+    if node_cascade is not None:
+        extra = dict(nd_words=np.asarray(node_cascade.a_bloom.words),
+                     ne_words=np.asarray(node_cascade.b_bloom.words),
+                     **_table_arrays("ndt", node_cascade.a_table),
+                     **_table_arrays("net", node_cascade.b_table))
     np.savez_compressed(
         path, cfg_hash=np.frombuffer(_cfg_hash(cfg).encode(), np.uint8),
         a_words=np.asarray(cascade.a_bloom.words),
         b_words=np.asarray(cascade.b_bloom.words),
         **_table_arrays("at", cascade.a_table),
-        **_table_arrays("bt", cascade.b_table))
+        **_table_arrays("bt", cascade.b_table), **extra)
 
 
-def load_bloom(path: str, cfg: Config) -> BL.Cascade:
+def load_bloom(path: str, cfg: Config):
+    """Returns (cascade, node_cascade-or-None)."""
     z = np.load(path)
     _check(z, cfg, path)
-    return BL.Cascade(
+    cascade = BL.Cascade(
         a_bloom=BL.Bloom(jnp.asarray(z["a_words"])),
         b_bloom=BL.Bloom(jnp.asarray(z["b_words"])),
         a_table=_table_from("at", z),
         b_table=_table_from("bt", z))
+    node_cascade = None
+    if "nd_words" in z:
+        node_cascade = BL.Cascade(
+            a_bloom=BL.Bloom(jnp.asarray(z["nd_words"])),
+            b_bloom=BL.Bloom(jnp.asarray(z["ne_words"])),
+            a_table=_table_from("ndt", z),
+            b_table=_table_from("net", z))
+    return cascade, node_cascade
 
 
 def save_junctions(path: str, cfg: Config, junctions: T.Table,

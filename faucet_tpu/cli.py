@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--min_contig_cov", type=float, default=2.5)
     p.add_argument("--tip_len_factor", type=float, default=2.0)
+    p.add_argument("--junction_detect", default="auto",
+                   choices=("auto", "nodes", "ext8"),
+                   help="junction test: branch-node cascade (2 probes per "
+                        "window) or reference-style 8-way extension probe")
     p.add_argument("-second_kmer", type=int, default=None,
                    help="dual-k pass (BASELINE config 2): after the "
                         "-size_kmer assembly, reassemble reads + chunked "
@@ -91,7 +95,8 @@ def config_from_args(a) -> Config:
         fp_rate=a.fp_rate, two_hash=a.two_hash, exact=a.exact,
         batch_reads=a.batch_reads, n_shards=a.n_shards,
         metrics_file=a.metrics_file, profile=a.profile,
-        min_contig_cov=a.min_contig_cov, tip_len_factor=a.tip_len_factor)
+        min_contig_cov=a.min_contig_cov, tip_len_factor=a.tip_len_factor,
+        junction_detect=a.junction_detect)
 
 
 def main(argv=None) -> int:
@@ -138,11 +143,15 @@ def main(argv=None) -> int:
 
     resumed = False
     if cfg.bloom_file and cfg.junctions_file:
-        pipe.cascade = CK.load_bloom(cfg.bloom_file, cfg)
+        pipe.cascade, node_cascade = CK.load_bloom(cfg.bloom_file, cfg)
+        if node_cascade is not None:
+            pipe.node_cascade = node_cascade
         pipe.junctions, pipe.sinks = CK.load_junctions(
             cfg.junctions_file, cfg)
         if cfg.n_shards > 1:
             pipe.cascade = pipe.stream.place_state(pipe.cascade)
+            if node_cascade is not None:
+                pipe.node_cascade = pipe.stream.place_state(node_cascade)
             pipe.junctions = pipe.stream.place_state(pipe.junctions)
             pipe.sinks = pipe.stream.place_state(pipe.sinks)
         resumed = True
@@ -194,7 +203,8 @@ def main(argv=None) -> int:
                 pipe.scan_paired(read_seqs(cfg.read_scan_file, cfg.fastq))
             else:
                 pipe.scan_batches(batches_of(cfg.read_scan_file))
-        CK.save_bloom(f"{cfg.file_prefix}.bloom.npz", cfg, pipe.cascade)
+        CK.save_bloom(f"{cfg.file_prefix}.bloom.npz", cfg, pipe.cascade,
+                      getattr(pipe, "node_cascade", None))
         CK.save_junctions(f"{cfg.file_prefix}.junctions.npz", cfg,
                           pipe.junctions, pipe.sinks)
         g = pipe.build()

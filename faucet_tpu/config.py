@@ -50,6 +50,15 @@ class Config:
     cascade_cap_b_override: Optional[int] = None  # exactly global/n_shards
     n_hash_a_override: Optional[int] = None  # pinned by local_shard() so
     n_hash_b_override: Optional[int] = None  # shard bits == global bits
+    junction_detect: str = "auto"   # auto | nodes | ext8 (SURVEY §3.2:
+    #   nodes = branch-node cascade, 2 probes/window; ext8 = the
+    #   reference-style 8-way extension probe; auto: nodes for k<=31)
+    bloom_d_log2_override: Optional[int] = None  # branch-node cascade
+    bloom_e_log2_override: Optional[int] = None  # (D = seen-once
+    n_hash_d_override: Optional[int] = None      # node-sides, E =
+    n_hash_e_override: Optional[int] = None      # branching node-sides)
+    node_cap_d_override: Optional[int] = None
+    node_cap_e_override: Optional[int] = None
     max_contig_len: int = 200_000          # global walk bound (bases)
     scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
@@ -73,6 +82,12 @@ class Config:
             raise ValueError("max_read_length must exceed size_kmer")
         if self.n_shards & (self.n_shards - 1):
             raise ValueError("n_shards must be a power of two")
+        if self.junction_detect not in ("auto", "nodes", "ext8"):
+            raise ValueError("junction_detect must be auto|nodes|ext8")
+        if self.junction_detect == "nodes" and self.size_kmer > 31:
+            raise ValueError("junction_detect=nodes needs k <= 31 "
+                             "(wide k-mers use fingerprint keys; node "
+                             "codes are not derivable from them)")
 
     # ---- derived sizes --------------------------------------------------
     @property
@@ -124,6 +139,102 @@ class Config:
         if self.n_hash_b_override is not None:
             return self.n_hash_b_override
         return self._min_hashes(self.bloom_b_bits, self.estimated_kmers)
+
+    # ---- branch-node cascade (junction_detect == "nodes") ----------------
+    @property
+    def use_node_junctions(self) -> bool:
+        if self.junction_detect == "auto":
+            return self.size_kmer <= 31
+        return self.junction_detect == "nodes"
+
+    @property
+    def node_fp_rate(self) -> float:
+        """A false positive here forges a junction (one extra collapsible
+        graph node, like the reference's Bloom-fp junctions) — keep it an
+        order under the membership fp."""
+        return min(self.fp_rate, 0.002)
+
+    @property
+    def node_d_items(self) -> int:
+        return 2 * self.estimated_kmers  # two endpoints per solid k-mer
+
+    @property
+    def node_e_items(self) -> int:
+        return max(self.estimated_kmers // 2, 1 << 14)
+
+    def _node_bits(self, n_items: int) -> int:
+        # sized so THREE hashes reach node_fp_rate (~24 bits/key at
+        # 0.2%): every hash is a VPU mask op in the probe/insert kernels
+        # and the scan asks 2 node probes per window — HBM bits are far
+        # cheaper than per-probe compute (bench/nodes_profile.py)
+        import math as _m
+
+        per_key = 3.0 / -_m.log1p(-self.node_fp_rate ** (1 / 3))
+        bits = int(1.25 * n_items * per_key)
+        return _next_pow2(max(bits, 1 << 16))
+
+    @property
+    def bloom_d_bits(self) -> int:
+        if self.bloom_d_log2_override is not None:
+            return 1 << self.bloom_d_log2_override
+        return self._node_bits(self.node_d_items)
+
+    @property
+    def bloom_e_bits(self) -> int:
+        if self.bloom_e_log2_override is not None:
+            return 1 << self.bloom_e_log2_override
+        return self._node_bits(self.node_e_items)
+
+    def _min_hashes_at(self, m_bits: int, n_items: int, fp: float) -> int:
+        if self.two_hash:
+            return 2
+        n_eff = max(1, int(1.25 * n_items))
+        for k in range(1, 17):
+            if (1 - math.exp(-k * n_eff / m_bits)) ** k <= fp:
+                return k
+        return max(1, round(-math.log2(fp)))
+
+    @property
+    def n_hash_d(self) -> int:
+        if self.n_hash_d_override is not None:
+            return self.n_hash_d_override
+        return self._min_hashes_at(self.bloom_d_bits, self.node_d_items,
+                                   self.node_fp_rate)
+
+    @property
+    def n_hash_e(self) -> int:
+        if self.n_hash_e_override is not None:
+            return self.n_hash_e_override
+        return self._min_hashes_at(self.bloom_e_bits, self.node_e_items,
+                                   self.node_fp_rate)
+
+    @property
+    def node_cap_d(self) -> int:
+        if self.node_cap_d_override is not None:
+            return self.node_cap_d_override
+        return _next_pow2(2 * self.node_d_items)
+
+    @property
+    def node_cap_e(self) -> int:
+        if self.node_cap_e_override is not None:
+            return self.node_cap_e_override
+        return _next_pow2(2 * self.node_e_items)
+
+    def node_view(self) -> "Config":
+        """This config with the A/B slots remapped to the branch-node
+        cascade D/E — the node cascade then reuses the generic Cascade
+        machinery (make_cascade / cascade_insert / cascade_solid)
+        verbatim, including exact-table mode and sharded addressing."""
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self,
+            bloom_a_log2_override=self.bloom_d_bits.bit_length() - 1,
+            bloom_b_log2_override=self.bloom_e_bits.bit_length() - 1,
+            n_hash_a_override=self.n_hash_d,
+            n_hash_b_override=self.n_hash_e,
+            cascade_cap_a_override=self.node_cap_d,
+            cascade_cap_b_override=self.node_cap_e)
 
     def bloom_bits(self, n_items: int) -> int:
         """Bits for an n_items Bloom at fp_rate; rounded to a power of two
@@ -198,10 +309,16 @@ class Config:
             self, n_shards=1,
             n_hash_a_override=self.n_hash_a,
             n_hash_b_override=self.n_hash_b,
+            n_hash_d_override=self.n_hash_d,
+            n_hash_e_override=self.n_hash_e,
             bloom_a_log2_override=self.bloom_a_bits.bit_length() - 1 - sb,
             bloom_b_log2_override=self.bloom_b_bits.bit_length() - 1 - sb,
+            bloom_d_log2_override=self.bloom_d_bits.bit_length() - 1 - sb,
+            bloom_e_log2_override=self.bloom_e_bits.bit_length() - 1 - sb,
             cascade_cap_a_override=self.cascade_cap_a >> sb,
             cascade_cap_b_override=self.cascade_cap_b >> sb,
+            node_cap_d_override=self.node_cap_d >> sb,
+            node_cap_e_override=self.node_cap_e >> sb,
             junction_capacity=self.junction_cap >> sb,
             sink_capacity=self.sink_cap >> sb,
             pair_capacity=self.pair_cap >> sb)

@@ -210,11 +210,14 @@ def make_cascade(cfg) -> Cascade:
 
 
 def _batch_counts(khi, klo, mask):
-    """Sorted batch keys + per-representative occurrence count."""
+    """Sorted batch keys + per-representative occurrence count + the
+    original lane index of each sorted position (stable, so the
+    representative is the key's first in-batch occurrence)."""
     n = khi.shape[0]
     khi_m = jnp.where(mask, khi, _SENTINEL)
     klo_m = jnp.where(mask, klo, _SENTINEL)
-    skhi, sklo = jax.lax.sort((khi_m, klo_m), num_keys=2)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    skhi, sklo, sidx = jax.lax.sort((khi_m, klo_m, iota), num_keys=2)
     head = jnp.concatenate(
         [jnp.ones((1,), bool),
          (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
@@ -222,12 +225,25 @@ def _batch_counts(khi, klo, mask):
     counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg,
                                  num_segments=n)[seg]
     rep = head & (skhi != _SENTINEL)
-    return skhi, sklo, counts, rep
+    return skhi, sklo, counts, rep, sidx
 
 
-def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
+def cascade_insert(c: Cascade, khi, klo, mask, cfg,
+                   sparse: bool = False) -> Cascade:
     """Phase-1 load: if A contains k: B.add(k) else A.add(k), batched
     (SURVEY.md §A.2), preserving sequential semantics via in-batch counts.
+
+    sparse=True hints that mask is mostly-False (e.g. the branch-node
+    endpoint inserts): the TPU kernel then skips dead lanes 32-at-a-time.
+    """
+    return cascade_insert_nb(c, khi, klo, mask, cfg, sparse=sparse)[0]
+
+
+def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
+                      ) -> Tuple[Cascade, jnp.ndarray]:
+    """cascade_insert + per-lane new-B flags: new_b[i] is True on exactly
+    the lane whose insert first promoted its k-mer into B (drives the
+    branch-node cascade, core/nodes.py).
 
     On TPU the whole cascade runs as ONE fused Pallas pass
     (kernels/cascade.py): keys are processed sequentially in VMEM, which
@@ -235,6 +251,7 @@ def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
     formulation below (tests/unit/test_cascade_kernel.py).
     """
     sb = cfg.shard_bits
+    n = khi.shape[0]
     if not cfg.exact and _use_pallas():
         from faucet_tpu.kernels.cascade import (SENTINEL as CSENT,
                                                 cascade_insert_fused)
@@ -244,30 +261,34 @@ def cascade_insert(c: Cascade, khi, klo, mask, cfg) -> Cascade:
         block_a, h1r, h2 = _block_h1r_h2(khi, klo, la, sb)
         block_b, _, _ = _block_h1r_h2(khi, klo, lb, sb)
         block_a = jnp.where(mask, block_a, CSENT)
-        aw, bw = cascade_insert_fused(c.a_bloom.words, c.b_bloom.words,
-                                      block_a, block_b, h1r, h2,
-                                      cfg.n_hash_a, cfg.n_hash_b)
-        return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw))
-    skhi, sklo, counts, rep = _batch_counts(khi, klo, mask)
+        aw, bw, new_b = cascade_insert_fused(
+            c.a_bloom.words, c.b_bloom.words, block_a, block_b, h1r, h2,
+            cfg.n_hash_a, cfg.n_hash_b,
+            live=(jnp.asarray(mask) if sparse else None), sparse=sparse)
+        return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b
+    skhi, sklo, counts, rep, sidx = _batch_counts(khi, klo, mask)
     if cfg.exact:
         in_a = T.contains(c.a_table, skhi, sklo, rep, shard_bits=sb)
+        in_b = T.contains(c.b_table, skhi, sklo, rep, shard_bits=sb)
         add_b = rep & (in_a | (counts >= 2))
-        add_a = rep & ~in_a
+        new_b = jnp.zeros((n,), bool).at[sidx].set(add_b & ~in_b)
         return c._replace(
-            a_table=T.upsert(c.a_table, skhi, sklo, (), add_a, modes=(),
-                             shard_bits=sb),
+            a_table=T.upsert(c.a_table, skhi, sklo, (), rep & ~in_a,
+                             modes=(), shard_bits=sb),
             b_table=T.upsert(c.b_table, skhi, sklo, (), add_b, modes=(),
-                             shard_bits=sb))
+                             shard_bits=sb)), new_b
     la = cfg.bloom_a_bits.bit_length() - 1
     lb = cfg.bloom_b_bits.bit_length() - 1
     in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, cfg.n_hash_a, la, sb)
+    in_b = bloom_contains(c.b_bloom, skhi, sklo, rep, cfg.n_hash_b, lb, sb)
     add_b = rep & (in_a | (counts >= 2))
     add_a = rep & ~in_a
+    new_b = jnp.zeros((n,), bool).at[sidx].set(add_b & ~in_b)
     return c._replace(
         a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, cfg.n_hash_a,
                              la, sb),
         b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, cfg.n_hash_b,
-                             lb, sb))
+                             lb, sb)), new_b
 
 
 def cascade_solid(c: Cascade, khi, klo, mask, cfg):

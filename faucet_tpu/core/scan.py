@@ -135,11 +135,17 @@ def _compact(mask, K: int, payloads):
 
 
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
-               bases, lens, cfg) -> ScanResult:
+               bases, lens, cfg, node_cascade: BL.Cascade = None
+               ) -> ScanResult:
     """Single-shard scan: membership and tables are local."""
     solid_fn = lambda khi, klo, m: BL.cascade_solid(cascade, khi, klo, m,
                                                     cfg)
-    u = scan_core(solid_fn, bases, lens, cfg)
+    node_fn = None
+    if node_cascade is not None and cfg.use_node_junctions:
+        ncfg = cfg.node_view()
+        node_fn = lambda khi, klo, m: BL.cascade_solid(node_cascade, khi,
+                                                       klo, m, ncfg)
+    u = scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn)
     wide = cfg.size_kmer > 31
     junctions = T.upsert(
         junctions, u.jhi, u.jlo,
@@ -159,10 +165,18 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
         canon_lo=u.canon_lo)
 
 
-def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
-    """Scan with an injected solidity oracle — the same code path serves
-    the local pipeline and the hash-range-sharded one (where solid_fn
-    routes queries to owner shards, dist/sharded.py).
+def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
+              ) -> ScanUpdates:
+    """Scan with injected oracles — the same code path serves the local
+    pipeline and the hash-range-sharded one (where the oracles route
+    queries to owner shards, dist/sharded.py).
+
+    solid_fn answers k-mer membership in solid filter B. node_solid_fn
+    (junction_detect == "nodes") answers tagged branch-node membership in
+    node filter E (core/nodes.py) — junction detection then costs 2
+    probes/window instead of the reference-style 8-way extension probe
+    (SURVEY.md §3.2; provably the same junction set in exact mode,
+    tests/unit/test_nodes.py).
 
     For k > 31 the per-window keys are 62-bit fingerprints of 4-word wide
     codes (core/wide.py); everything downstream of (key, slot, mask) is
@@ -193,25 +207,57 @@ def scan_core(solid_fn, bases, lens, cfg) -> ScanUpdates:
 
     B, P = key_hi.shape
     solid = solid_fn(key_hi, key_lo, valid)
-    ehi, elo = ext_keys()
-    ext_solid = solid_fn(
-        ehi, elo, jnp.broadcast_to(solid[..., None], ehi.shape))
-    right_deg = jnp.sum(ext_solid[..., 0:4], axis=-1)
-    left_deg = jnp.sum(ext_solid[..., 4:8], axis=-1)
-    is_junc = solid & ((right_deg >= 2) | (left_deg >= 2))
-
-    rs, re, pj, nj, tot, start_m, end_m = _row_runs(solid, is_junc)
-    pos = jnp.arange(P, dtype=I32)[None, :]
 
     # neighbor read bases (codes) just outside each window
     nb = jnp.pad(bases[:, k:], ((0, 0), (0, max(0, P - (bases.shape[1] - k)))),
                  constant_values=4)[:, :P]
     pb = jnp.pad(bases[:, : P - 1], ((0, 0), (1, 0)), constant_values=4)
+    ex_slot = exit_slot(cisf, jnp.minimum(nb, 3).astype(I32))
+    en_slot = entry_slot(cisf, jnp.minimum(pb, 3).astype(I32))
+
+    if node_solid_fn is not None and cfg.use_node_junctions:
+        from faucet_tpu.core import nodes as ND
+
+        rk_hi, rk_lo, lk_hi, lk_lo = ND.probe_keys(
+            key_hi, key_lo, other_hi, other_lo, cfg.size_kmer)
+        branch_r = node_solid_fn(rk_hi, rk_lo, solid)
+        branch_l = node_solid_fn(lk_hi, lk_lo, solid)
+        is_junc = solid & (branch_r | branch_l)
+    else:
+        # The read itself answers 2 of the 8 extension probes: the slot
+        # the read exits a window by IS the next window's k-mer (same
+        # canonical key -> same membership bit), and the entry slot is
+        # the previous window's. Mask those lanes off the probe (the
+        # Pallas kernel skips masked lanes fast) and fill from the
+        # neighboring windows' own solidity — bit-identical to probing,
+        # ~25% fewer probe lanes.
+        next_solid = jnp.pad(solid[:, 1:], ((0, 0), (0, 1)))
+        prev_solid = jnp.pad(solid[:, :-1], ((0, 0), (1, 0)))
+        next_valid = jnp.pad(valid[:, 1:], ((0, 0), (0, 1)))
+        prev_valid = jnp.pad(valid[:, :-1], ((0, 0), (1, 0)))
+        sl8 = jnp.arange(8, dtype=I32)
+        ex_oh_b = (ex_slot[..., None] == sl8) \
+            & (valid & next_valid)[..., None]
+        en_oh_b = (en_slot[..., None] == sl8) \
+            & (valid & prev_valid)[..., None]
+        known = ex_oh_b | en_oh_b
+        fill = ((ex_oh_b & next_solid[..., None]) |
+                (en_oh_b & prev_solid[..., None])) & solid[..., None]
+
+        ehi, elo = ext_keys()
+        probed = solid_fn(
+            ehi, elo,
+            jnp.broadcast_to(solid[..., None], ehi.shape) & ~known)
+        ext_solid = jnp.where(known, fill, probed)
+        right_deg = jnp.sum(ext_solid[..., 0:4], axis=-1)
+        left_deg = jnp.sum(ext_solid[..., 4:8], axis=-1)
+        is_junc = solid & ((right_deg >= 2) | (left_deg >= 2))
+
+    rs, re, pj, nj, tot, start_m, end_m = _row_runs(solid, is_junc)
+    pos = jnp.arange(P, dtype=I32)[None, :]
 
     exit_ok = is_junc & ~end_m
     entry_ok = is_junc & ~start_m
-    ex_slot = exit_slot(cisf, jnp.minimum(nb, 3).astype(I32))
-    en_slot = entry_slot(cisf, jnp.minimum(pb, 3).astype(I32))
     ex_dist = (jnp.where(nj >= 0, nj, re) - pos).astype(I32)
     en_dist = (pos - jnp.where(pj >= 0, pj, rs)).astype(I32)
 
@@ -305,3 +351,28 @@ def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:
         khi, klo, valid = wv.key_hi, wv.key_lo, wv.valid
     return BL.cascade_insert(cascade, khi.reshape(-1), klo.reshape(-1),
                              valid.reshape(-1), cfg)
+
+
+def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
+                     bases, lens, cfg):
+    """Phase-1 load + branch-node cascade maintenance (junction_detect
+    "nodes"): each k-mer newly promoted into solid filter B contributes
+    its two tagged endpoint keys to the D->E node cascade
+    (core/nodes.py). Returns (cascade, node_cascade)."""
+    from faucet_tpu.core import nodes as ND
+
+    view = KM.kmerize(bases, lens, cfg.size_kmer)
+    khi = view.canon_hi.reshape(-1)
+    klo = view.canon_lo.reshape(-1)
+    valid = view.valid.reshape(-1)
+    cascade, new_b = BL.cascade_insert_nb(cascade, khi, klo, valid, cfg)
+    other_hi, other_lo = u2.select(view.canon_is_fwd, view.rc_hi,
+                                   view.rc_lo, view.fwd_hi, view.fwd_lo)
+    pk_hi, pk_lo, sk_hi, sk_lo = ND.endpoint_keys(
+        view.canon_hi, view.canon_lo, other_hi, other_lo, cfg.size_kmer)
+    nhi = jnp.concatenate([pk_hi.reshape(-1), sk_hi.reshape(-1)])
+    nlo = jnp.concatenate([pk_lo.reshape(-1), sk_lo.reshape(-1)])
+    nmask = jnp.concatenate([new_b, new_b])
+    node_cascade = BL.cascade_insert(node_cascade, nhi, nlo, nmask,
+                                     cfg.node_view(), sparse=True)
+    return cascade, node_cascade

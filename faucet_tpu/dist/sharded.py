@@ -87,6 +87,47 @@ def _load_local(cascade: BL.Cascade, bases, lens, *, cfg_local, n_shards,
     return cascade, info.dropped.reshape(1)
 
 
+def _load_local_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
+                      bases, lens, *, cfg_local, n_shards, shard_bits):
+    """Load + branch-node cascade, sharded: k-mers route to their owner
+    (endpoint keys ride along as payload), the owner's insert reports
+    new-B promotions, and the promoted endpoint keys route onward to
+    THEIR owners for the D->E insert (SURVEY.md §2.2 collectives row)."""
+    from faucet_tpu.core import nodes as ND
+    from faucet_tpu.core import u32x2 as u2
+
+    k = cfg_local.size_kmer
+    view = KM.kmerize(bases, lens, k)
+    khi = view.canon_hi.reshape(-1)
+    klo = view.canon_lo.reshape(-1)
+    mask = view.valid.reshape(-1)
+    other_hi, other_lo = u2.select(view.canon_is_fwd, view.rc_hi,
+                                   view.rc_lo, view.fwd_hi, view.fwd_lo)
+    pk_hi, pk_lo, sk_hi, sk_lo = ND.endpoint_keys(
+        view.canon_hi, view.canon_lo, other_hi, other_lo, k)
+    owner = _owner(khi, klo, shard_bits)
+    cap = _cap_for(khi.shape[0], n_shards)
+    recv, rmask, info = R.route(
+        {"hi": khi, "lo": klo,
+         "pk_hi": pk_hi.reshape(-1), "pk_lo": pk_lo.reshape(-1),
+         "sk_hi": sk_hi.reshape(-1), "sk_lo": sk_lo.reshape(-1)},
+        owner, mask, n_shards, cap)
+    cascade, new_b = BL.cascade_insert_nb(cascade, recv["hi"], recv["lo"],
+                                          rmask, cfg_local)
+    nhi = jnp.concatenate([recv["pk_hi"], recv["sk_hi"]])
+    nlo = jnp.concatenate([recv["pk_lo"], recv["sk_lo"]])
+    nmask = jnp.concatenate([new_b & rmask, new_b & rmask])
+    nowner = _owner(nhi, nlo, shard_bits)
+    ncap = _cap_for(nhi.shape[0], n_shards)
+    nrecv, nrmask, ninfo = R.route({"hi": nhi, "lo": nlo}, nowner, nmask,
+                                   n_shards, ncap)
+    node_cascade = BL.cascade_insert(node_cascade, nrecv["hi"],
+                                     nrecv["lo"], nrmask,
+                                     cfg_local.node_view(), sparse=True)
+    return (cascade, node_cascade,
+            (info.dropped + ninfo.dropped).reshape(1))
+
+
 def _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits, drops):
     def solid_fn(khi, klo, mask):
         shape = khi.shape
@@ -106,12 +147,38 @@ def _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits, drops):
     return solid_fn
 
 
+def _routed_node_fn(node_cascade, cfg_local, n_shards, shard_bits, drops):
+    ncfg = cfg_local.node_view()
+
+    def node_fn(khi, klo, mask):
+        shape = khi.shape
+        fhi = khi.reshape(-1)
+        flo = klo.reshape(-1)
+        fm = jnp.asarray(mask).reshape(-1)
+        owner = _owner(fhi, flo, shard_bits)
+        cap = _cap_for(fhi.shape[0], n_shards)
+        recv, rmask, info = R.route({"hi": fhi, "lo": flo}, owner, fm,
+                                    n_shards, cap)
+        ans = BL.cascade_solid(node_cascade, recv["hi"], recv["lo"],
+                               rmask, ncfg)
+        got = R.route_back(ans.astype(jnp.int8), info, n_shards, cap)
+        drops.append(info.dropped)
+        return (got > 0).reshape(shape)
+
+    return node_fn
+
+
 def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
-                bases, lens, *, cfg, cfg_local, n_shards, shard_bits):
+                bases, lens, node_cascade: BL.Cascade = None, *, cfg,
+                cfg_local, n_shards, shard_bits):
     drops = []
     solid_fn = _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits,
                                 drops)
-    u = SC.scan_core(solid_fn, bases, lens, cfg)
+    node_fn = None
+    if node_cascade is not None and cfg.use_node_junctions:
+        node_fn = _routed_node_fn(node_cascade, cfg_local, n_shards,
+                                  shard_bits, drops)
+    u = SC.scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn)
 
     # compacted update lanes can be dense in the worst case: full-size
     # per-peer buckets, so routing never drops what compaction kept
@@ -159,23 +226,41 @@ class ShardedStream:
         state_spec = P(AXIS)
         rows = P(AXIS)
         rep = P(AXIS)  # per-shard scalar lanes
+        self.use_nodes = cfg.use_node_junctions
 
-        self._load = jax.jit(shard_map(
-            partial(_load_local, cfg_local=self.cfg_local, n_shards=S,
-                    shard_bits=sb),
-            mesh=mesh,
-            in_specs=(state_spec, rows, rows),
-            out_specs=(state_spec, rep),
-            check_vma=False))
-
-        self._scan = jax.jit(shard_map(
-            partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
-                    n_shards=S, shard_bits=sb),
-            mesh=mesh,
-            in_specs=(state_spec, state_spec, state_spec, rows, rows),
-            out_specs=(state_spec, state_spec, rep, rep, rows, rows,
-                       rows, rep),
-            check_vma=False))
+        if self.use_nodes:
+            self._load = jax.jit(shard_map(
+                partial(_load_local_nodes, cfg_local=self.cfg_local,
+                        n_shards=S, shard_bits=sb),
+                mesh=mesh,
+                in_specs=(state_spec, state_spec, rows, rows),
+                out_specs=(state_spec, state_spec, rep),
+                check_vma=False))
+            self._scan = jax.jit(shard_map(
+                partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
+                        n_shards=S, shard_bits=sb),
+                mesh=mesh,
+                in_specs=(state_spec, state_spec, state_spec, rows, rows,
+                          state_spec),
+                out_specs=(state_spec, state_spec, rep, rep, rows, rows,
+                           rows, rep),
+                check_vma=False))
+        else:
+            self._load = jax.jit(shard_map(
+                partial(_load_local, cfg_local=self.cfg_local, n_shards=S,
+                        shard_bits=sb),
+                mesh=mesh,
+                in_specs=(state_spec, rows, rows),
+                out_specs=(state_spec, rep),
+                check_vma=False))
+            self._scan = jax.jit(shard_map(
+                partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
+                        n_shards=S, shard_bits=sb),
+                mesh=mesh,
+                in_specs=(state_spec, state_spec, state_spec, rows, rows),
+                out_specs=(state_spec, state_spec, rep, rep, rows, rows,
+                           rows, rep),
+                check_vma=False))
 
     def place_state(self, tree):
         """Shard a state pytree's leading axes over the mesh."""
@@ -197,12 +282,18 @@ class ShardedStream:
             return (mk(sh, np.asarray(bases)), mk(sh, np.asarray(lens)))
         return (jax.device_put(bases, sh), jax.device_put(lens, sh))
 
-    def load(self, cascade, bases, lens):
+    def load(self, cascade, bases, lens, node_cascade=None):
         bases, lens = self.shard_batch(bases, lens)
+        if self.use_nodes:
+            return self._load(cascade, node_cascade, bases, lens)
         return self._load(cascade, bases, lens)
 
-    def scan(self, cascade, junctions, sinks, bases, lens):
+    def scan(self, cascade, junctions, sinks, bases, lens,
+             node_cascade=None):
         bases, lens = self.shard_batch(bases, lens)
+        if self.use_nodes:
+            return self._scan(cascade, junctions, sinks, bases, lens,
+                              node_cascade)
         return self._scan(cascade, junctions, sinks, bases, lens)
 
 
@@ -229,6 +320,10 @@ class ShardedPipeline:
         self.stream = ShardedStream(cfg, mesh)
         self.cascade = self.stream.place_state(
             _vec_cascade(BL.make_cascade(cfg), S))
+        self.node_cascade = None
+        if cfg.use_node_junctions:
+            self.node_cascade = self.stream.place_state(
+                _vec_cascade(BL.make_cascade(cfg.node_view()), S))
         wspec = (((4,), jnp.uint32),) if cfg.wide else ()
         self.junctions = self.stream.place_state(vec_counters(
             T.make(cfg.junction_cap,
@@ -280,9 +375,14 @@ class ShardedPipeline:
         return g
 
     def load_batch(self, bases, lens):
-        self.cascade, drops = self.stream.load(self.cascade,
-                                               jnp.asarray(bases),
-                                               jnp.asarray(lens))
+        if self.node_cascade is not None:
+            self.cascade, self.node_cascade, drops = self.stream.load(
+                self.cascade, jnp.asarray(bases), jnp.asarray(lens),
+                self.node_cascade)
+        else:
+            self.cascade, drops = self.stream.load(self.cascade,
+                                                   jnp.asarray(bases),
+                                                   jnp.asarray(lens))
         self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
         self.metrics.add("route_dropped", int(fetch(drops).sum()))
 
@@ -300,7 +400,7 @@ class ShardedPipeline:
         (self.junctions, self.sinks, n_solid, n_junc, _jm, _chi, _clo,
          drops) = self.stream.scan(self.cascade, self.junctions,
                                    self.sinks, jnp.asarray(bases),
-                                   jnp.asarray(lens))
+                                   jnp.asarray(lens), self.node_cascade)
         self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
         self.metrics.add("solid_windows", int(fetch(n_solid).sum()))
         self.metrics.add("junction_hits", int(fetch(n_junc).sum()))

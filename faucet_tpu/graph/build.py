@@ -88,6 +88,9 @@ class _NarrowCodec:
     def walk_round(self):
         return W.walk_round
 
+    def resolver(self):
+        return W.resolve_ambiguous
+
     def finish(self, fr, n):
         chi, clo, _ = KM.canon_of(fr.fhi, fr.flo, fr.rhi, fr.rlo)
         hi = fetch(chi)[:n]
@@ -139,6 +142,9 @@ class _WideCodec:
 
     def walk_round(self):
         return W.walk_round_wide
+
+    def resolver(self):
+        return W.resolve_ambiguous_wide
 
     def finish(self, fr, n):
         from faucet_tpu.core.wide import (canon_of_wide, decode_kmer_wide,
@@ -193,6 +199,12 @@ class GraphBuilder:
         fr = codec.make_frontier(payload, dirs, forced, active,
                                  circle_ok, pad)
         runner = self._walk_fn(codec)
+        resolve = codec.resolver()
+        rkey = (resolve, "resolve")
+        if rkey not in self._jitted:
+            self._jitted[rkey] = jax.jit(resolve,
+                                         static_argnames=("cfg",))
+        resolve = self._jitted[rkey]
         strips: List[np.ndarray] = []
         total = 0
         while total < cfg.max_contig_len:
@@ -200,6 +212,8 @@ class GraphBuilder:
                                n_steps=cfg.walk_round_steps, cfg=cfg)
             strips.append(fetch(bases))
             total += cfg.walk_round_steps
+            # re-arm walks retired on Bloom-fp branches (lookahead)
+            fr = resolve(self.cascade, fr, cfg=cfg)
             if not bool(fetch(jnp.any(fr.active))):
                 break
         allb = np.concatenate(strips, axis=1) if strips else np.zeros(
@@ -215,7 +229,10 @@ class GraphBuilder:
 
     # ---- contig assembly -------------------------------------------------
     def _strip_to_str(self, row: np.ndarray, steps: int) -> str:
-        return "".join(_CODEBOOK[b] for b in row[:steps] if b != 255)
+        # lanes re-armed after an fp-branch retirement have idle (255)
+        # gaps mid-row: filter first, then bound by the advance count
+        live = row[row != 255]
+        return "".join(_CODEBOOK[b] for b in live[:steps])
 
     def build(self) -> ContigGraph:
         cfg = self.cfg

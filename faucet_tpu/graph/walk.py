@@ -136,6 +136,41 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
     return fr, bases.T  # [W, n_steps]
 
 
+def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
+    """Re-arm walks retired on Bloom-fp branches via 1-step lookahead.
+
+    Reference analogue: the BF walk's fp-branch tolerance — "exactly one
+    should be solid (else: FP-branch — resolved by bound dist / endpoint
+    match)" (SURVEY.md §3.5 [C:med]). A false-positive k-mer almost never
+    extends (P ~ 4*fp), so at an ambiguous step the candidate with a
+    solid continuation is the real path; walks resume with that base
+    forced. Runs between rounds over the whole frontier with lookahead
+    probes masked to the ambiguous lanes (the probe kernel skips masked
+    lanes), so the per-step hot loop stays 4 probes."""
+    k = cfg.size_kmer
+    amb = (fr.end_kind == END_AMBIG) & ~fr.active
+    strongs = []
+    for b in range(4):
+        e = KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
+        chi, clo, _ = KM.canon_of(*e)
+        sb = BL.cascade_solid(cascade, chi, clo, amb, cfg)
+        cont = jnp.zeros_like(sb)
+        for b2 in range(4):
+            e2 = KM.right_ext(*e, np.uint32(b2), k)
+            c2h, c2l, _ = KM.canon_of(*e2)
+            cont = cont | BL.cascade_solid(cascade, c2h, c2l, sb, cfg)
+        strongs.append(sb & cont)
+    strong4 = jnp.stack(strongs, axis=-1)
+    scnt = jnp.sum(strong4, axis=-1)
+    resolved = amb & (scnt == 1)
+    return fr._replace(
+        forced=jnp.where(resolved,
+                         jnp.argmax(strong4, axis=-1).astype(I32),
+                         fr.forced),
+        active=fr.active | resolved,
+        end_kind=jnp.where(resolved, RUNNING, fr.end_kind))
+
+
 # ---- wide (k > 31) frontier: 4-word codes, fingerprint keys ------------
 
 
@@ -222,3 +257,34 @@ def walk_round_wide(cascade: BL.Cascade, junctions: T.Table,
 
     fr, bases = jax.lax.scan(step, fr, None, length=n_steps)
     return fr, bases.T
+
+
+def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
+                           ) -> FrontierW:
+    """Wide-code twin of resolve_ambiguous (same fp-branch lookahead)."""
+    from faucet_tpu.core import wide as WD
+
+    k = cfg.size_kmer
+    amb = (fr.end_kind == END_AMBIG) & ~fr.active
+    strongs = []
+    for b in range(4):
+        nf, nr = WD.right_ext_wide(fr.fwd, fr.rc, np.uint32(b), k)
+        c, _ = WD.canon_of_wide(nf, nr)
+        khi, klo = WD.fingerprint(c)
+        sb = BL.cascade_solid(cascade, khi, klo, amb, cfg)
+        cont = jnp.zeros_like(sb)
+        for b2 in range(4):
+            nf2, nr2 = WD.right_ext_wide(nf, nr, np.uint32(b2), k)
+            c2, _ = WD.canon_of_wide(nf2, nr2)
+            k2h, k2l = WD.fingerprint(c2)
+            cont = cont | BL.cascade_solid(cascade, k2h, k2l, sb, cfg)
+        strongs.append(sb & cont)
+    strong4 = jnp.stack(strongs, axis=-1)
+    scnt = jnp.sum(strong4, axis=-1)
+    resolved = amb & (scnt == 1)
+    return fr._replace(
+        forced=jnp.where(resolved,
+                         jnp.argmax(strong4, axis=-1).astype(I32),
+                         fr.forced),
+        active=fr.active | resolved,
+        end_kind=jnp.where(resolved, RUNNING, fr.end_kind))

@@ -51,8 +51,9 @@ def _window(rel_block):
     return row8, sub, lane0
 
 
-def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, a_in, b_in, a_out, b_out, *,
-            tile_words: int, n_hash_a: int, n_hash_b: int):
+def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
+            a_out, b_out, nb_out, *, tile_words: int, n_hash_a: int,
+            n_hash_b: int, n_tiles: int):
     tile_blocks = tile_words // 16
     base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
@@ -78,7 +79,81 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, a_in, b_in, a_out, b_out, *,
                               np.uint32(0))
         return m
 
+    def key_body(i):
+        blk_a = ba_ref[i]
+        rel_a = blk_a - base
+        in_tile = (blk_a != SENTINEL) & (rel_a < tile_blocks)
+
+        # nb carries each key's new-B flag across A-tile passes (exactly
+        # one pass owns a key's block)
+        @pl.when(jnp.logical_not(in_tile))
+        def _():
+            nb_out[i] = nb_in[i] if n_tiles > 1 else jnp.uint32(0)
+
+        @pl.when(in_tile)
+        def _():
+            h1r = h1r_ref[i]
+            h2 = h2_ref[i]
+            row8a, sub_a, lane0a = _window(rel_a)
+            mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+            cur_a = a_out[pl.ds(row8a, 8), :]
+            in_a = jnp.sum((cur_a & mask_a) != mask_a) == 0
+
+            @pl.when(in_a)
+            def _():
+                row8b, sub_b, lane0b = _window(bb_ref[i])
+                mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+                cur_b = b_out[pl.ds(row8b, 8), :]
+                was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+                b_out[pl.ds(row8b, 8), :] = cur_b | mask_b
+                nb_out[i] = jnp.logical_not(was_b).astype(jnp.uint32)
+
+            @pl.when(jnp.logical_not(in_a))
+            def _():
+                a_out[pl.ds(row8a, 8), :] = cur_a | mask_a
+                nb_out[i] = jnp.uint32(0)
+
     def body(i, _):
+        key_body(i)
+        return 0
+
+    jax.lax.fori_loop(0, ba_ref.shape[0], body, 0)
+
+
+def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref,
+                   a_in, b_in, a_out, b_out, *, tile_words: int,
+                   n_hash_a: int, n_hash_b: int):
+    """Sparse-mask variant: live_ref packs 32 keys' liveness per uint32;
+    a zero word skips all 32 lanes in a few cycles. Used for the
+    branch-node endpoint inserts, where ~1-5%% of lanes are live after
+    the first promotion flags (core/nodes.py) — per-lane skip cost would
+    otherwise dominate."""
+    tile_blocks = tile_words // 16
+    base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
+            np.uint32(_LANES) +
+            jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        a_out[:] = a_in[:]
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(0) == 0))
+    def _():
+        b_out[:] = b_in[:]
+
+    def mask_at(sub, lane0, h1r, h2, n_hash):
+        m = jnp.zeros((8, _LANES), jnp.uint32)
+        tbase = sub * np.uint32(_LANES) + lane0
+        for j in range(n_hash):
+            bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
+            tgt = tbase + (bit >> np.uint32(5))
+            m = m | jnp.where(flat == tgt,
+                              jnp.uint32(1) << (bit & np.uint32(31)),
+                              np.uint32(0))
+        return m
+
+    def key_body(i):
         blk_a = ba_ref[i]
         rel_a = blk_a - base
 
@@ -102,9 +177,25 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, a_in, b_in, a_out, b_out, *,
             def _():
                 a_out[pl.ds(row8a, 8), :] = cur_a | mask_a
 
+    chunk_words = ba_ref.shape[0] // 32
+    base_w = pl.program_id(1) * chunk_words
+
+    def word_body(w, _):
+        lw = live_ref[base_w + w]
+
+        @pl.when(lw != 0)
+        def _():
+            def bit_body(j, _):
+                @pl.when(((lw >> j.astype(jnp.uint32)) & 1) != 0)
+                def _():
+                    key_body(w * 32 + j)
+                return 0
+
+            jax.lax.fori_loop(0, 32, bit_body, 0)
+
         return 0
 
-    jax.lax.fori_loop(0, ba_ref.shape[0], body, 0)
+    jax.lax.fori_loop(0, chunk_words, word_body, 0)
 
 
 def _pick_tile_words(wa: int, wb: int) -> int:
@@ -119,22 +210,30 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
-                                             "interpret"))
+                                             "sparse", "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
-                         n_hash_b: int = None, interpret: bool = False):
-    if n_hash_b is None:
-        n_hash_b = n_hash_a
+                         n_hash_b: int = None, live: jnp.ndarray = None,
+                         sparse: bool = False, interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
-    updated (a_words, b_words)."""
+    updated (a_words, b_words, new_b) where new_b[i] marks keys whose B
+    bits were not all set before this insert (first promotion — drives
+    the branch-node cascade of core/nodes.py).
+
+    sparse=True: `live` is a bool[N] expected mostly-False; lanes are
+    skipped 32-at-a-time through a packed word mask (no new_b reported,
+    returns None in its place). block_a must already be SENTINEL where
+    not live."""
+    if n_hash_b is None:
+        n_hash_b = n_hash_a
     wa, wb = a_words.shape[0], b_words.shape[0]
     assert wa % _LANES == 0 and wb % _LANES == 0
     tile_words = _pick_tile_words(wa, wb)
     n_tiles = wa // tile_words
     n = block_a.shape[0]
-    chunk = min(_KEY_CHUNK, max(n, 8))
+    chunk = min(_KEY_CHUNK, max(((n + 31) // 32) * 32, 32))
     pad = (-n) % chunk
     if pad:
         fill = lambda a, v: jnp.concatenate(
@@ -150,17 +249,50 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                           lambda t, c: (t, 0), memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((wb // _LANES, _LANES), lambda t, c: (0, 0),
                           memory_space=pltpu.VMEM)
-    a_out, b_out = pl.pallas_call(
+
+    if sparse:
+        lv = live
+        if pad:
+            lv = jnp.concatenate([lv, jnp.zeros((pad,), bool)])
+        words32 = (lv.reshape(-1, 32).astype(jnp.uint32)
+                   << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                       axis=1, dtype=jnp.uint32)
+        # whole packed-mask array as ONE SMEM block (rank-1 SMEM blocks
+        # must match the array's XLA tiling; full-array blocks always do)
+        spec_l = pl.BlockSpec((words32.shape[0],), lambda t, c: (0,),
+                              memory_space=pltpu.SMEM)
+        a_out, b_out = pl.pallas_call(
+            functools.partial(_kernel_sparse, tile_words=tile_words,
+                              n_hash_a=n_hash_a, n_hash_b=n_hash_b),
+            grid=(n_tiles, n_chunks),
+            in_specs=[spec_l, spec_s, spec_s, spec_s, spec_s, spec_a,
+                      spec_b],
+            out_specs=(spec_a, spec_b),
+            out_shape=(
+                jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32)),
+            input_output_aliases={5: 0, 6: 1},
+            interpret=interpret,
+        )(words32, block_a, block_b, h1r, h2,
+          a_words.reshape(wa // _LANES, _LANES),
+          b_words.reshape(wb // _LANES, _LANES))
+        return a_out.reshape(wa), b_out.reshape(wb), None
+
+    nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
+    a_out, b_out, new_b = pl.pallas_call(
         functools.partial(_kernel, tile_words=tile_words,
-                          n_hash_a=n_hash_a, n_hash_b=n_hash_b),
+                          n_hash_a=n_hash_a, n_hash_b=n_hash_b,
+                          n_tiles=n_tiles),
         grid=(n_tiles, n_chunks),
-        in_specs=[spec_s, spec_s, spec_s, spec_s, spec_a, spec_b],
-        out_specs=(spec_a, spec_b),
+        in_specs=[spec_s, spec_s, spec_s, spec_s, spec_s, spec_a, spec_b],
+        out_specs=(spec_a, spec_b, spec_s),
         out_shape=(jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32)),
-        input_output_aliases={4: 0, 5: 1},
+                   jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((block_a.shape[0],), jnp.uint32)),
+        input_output_aliases={4: 2, 5: 0, 6: 1},
         interpret=interpret,
-    )(block_a, block_b, h1r, h2,
+    )(block_a, block_b, h1r, h2, nb0,
       a_words.reshape(wa // _LANES, _LANES),
       b_words.reshape(wb // _LANES, _LANES))
-    return a_out.reshape(wa), b_out.reshape(wb)
+    return (a_out.reshape(wa), b_out.reshape(wb),
+            (new_b[:n] if pad else new_b) > 0)

@@ -35,27 +35,6 @@ _UNROLL = 4
 _VMEM_BUDGET = 12 * (1 << 20)
 
 
-def _probe_one(w_ref, flat, blk, h1r, h2, base, tile_blocks, n_hash):
-    """One key's membership in the resident tile; (in_tile, hit)."""
-    rel = blk - base
-    in_tile = (blk != SENTINEL) & (rel < tile_blocks)
-    rel_c = jnp.where(in_tile, rel, np.uint32(0))
-    row = (rel_c >> np.uint32(3)).astype(jnp.int32)
-    sub = (row & 7).astype(jnp.uint32)
-    row8 = pl.multiple_of((row >> 3) << 3, 8)
-    tbase = sub * np.uint32(_LANES) + (rel_c & np.uint32(7)) * np.uint32(16)
-    m = jnp.zeros((8, _LANES), jnp.uint32)
-    for j in range(n_hash):
-        bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
-        tgt = tbase + (bit >> np.uint32(5))
-        m = m | jnp.where(flat == tgt,
-                          jnp.uint32(1) << (bit & np.uint32(31)),
-                          np.uint32(0))
-    cur = w_ref[pl.ds(row8, 8), :]
-    hit = jnp.sum((cur & m) != m) == 0
-    return in_tile, hit
-
-
 def _kernel(block_ref, h1r_ref, h2_ref, res_in, w_ref, res_ref, *,
             tile_words: int, n_hash: int, n_tiles: int):
     tile_blocks = tile_words // 16
@@ -65,17 +44,50 @@ def _kernel(block_ref, h1r_ref, h2_ref, res_in, w_ref, res_ref, *,
             jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
     n = block_ref.shape[0]
 
+    def hit_of(rel, h1r, h2):
+        row = (rel >> np.uint32(3)).astype(jnp.int32)
+        sub = (row & 7).astype(jnp.uint32)
+        row8 = pl.multiple_of((row >> 3) << 3, 8)
+        tbase = sub * np.uint32(_LANES) + \
+            (rel & np.uint32(7)) * np.uint32(16)
+        m = jnp.zeros((8, _LANES), jnp.uint32)
+        for j in range(n_hash):
+            bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
+            tgt = tbase + (bit >> np.uint32(5))
+            m = m | jnp.where(flat == tgt,
+                              jnp.uint32(1) << (bit & np.uint32(31)),
+                              np.uint32(0))
+        cur = w_ref[pl.ds(row8, 8), :]
+        return jnp.sum((cur & m) != m) == 0
+
     def body(g, _):
         for u in range(_UNROLL):
             i = g * _UNROLL + u
-            in_tile, hit = _probe_one(w_ref, flat, block_ref[i],
-                                      h1r_ref[i], h2_ref[i], base,
-                                      tile_blocks, n_hash)
+            blk = block_ref[i]
+            rel = blk - base
+            # masked lanes (SENTINEL) skip the probe entirely — ~38% of
+            # scan extension lanes are masked (non-solid windows + slots
+            # known from the read's own neighbor windows)
             if n_tiles == 1:
-                res_ref[i] = (in_tile & hit).astype(jnp.uint32)
+                @pl.when(blk != SENTINEL)
+                def _():
+                    res_ref[i] = hit_of(rel, h1r_ref[i],
+                                        h2_ref[i]).astype(jnp.uint32)
+
+                @pl.when(blk == SENTINEL)
+                def _():
+                    res_ref[i] = jnp.uint32(0)
             else:
-                res_ref[i] = jnp.where(in_tile, hit.astype(jnp.uint32),
-                                       res_in[i])
+                in_tile = (blk != SENTINEL) & (rel < tile_blocks)
+
+                @pl.when(in_tile)
+                def _():
+                    res_ref[i] = hit_of(rel, h1r_ref[i],
+                                        h2_ref[i]).astype(jnp.uint32)
+
+                @pl.when(jnp.logical_not(in_tile))
+                def _():
+                    res_ref[i] = res_in[i]
         return 0
 
     jax.lax.fori_loop(0, n // _UNROLL, body, 0)

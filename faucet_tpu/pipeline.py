@@ -70,6 +70,10 @@ class Pipeline:
         self.cfg = cfg
         self.metrics = metrics or Metrics(cfg.metrics_file)
         self.cascade = BL.make_cascade(cfg)
+        # branch-node cascade: junction detection via 2 node probes per
+        # window instead of the 8-way extension probe (core/nodes.py)
+        self.node_cascade = (BL.make_cascade(cfg.node_view())
+                             if cfg.use_node_junctions else None)
         # wide k-mers (k>31) store their 4 canonical code words as table
         # values so walks can seed from fingerprint-keyed entries
         wspec = (((4,), jnp.uint32),) if cfg.wide else ()
@@ -80,6 +84,9 @@ class Pipeline:
         self.pairs = T.make(cfg.pair_cap, (((), jnp.int32),))
         self._load = jax.jit(SC.load_batch, static_argnames=("cfg",),
                              donate_argnums=(0,))
+        self._load_nodes = jax.jit(SC.load_batch_nodes,
+                                   static_argnames=("cfg",),
+                                   donate_argnums=(0, 1))
         self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
         self._pairs = jax.jit(SC.capture_pairs,
                       static_argnames=("cfg",),
@@ -91,17 +98,25 @@ class Pipeline:
 
     def load_batches(self, batches):
         """Phase 1 over an iterator of (bases, lens) packed batches (the
-        native C++ reader feeds this directly)."""
+        native C++ reader feeds this directly), prefetched on a reader
+        thread with eager device_put (io/stream.py)."""
+        from faucet_tpu.io.stream import prefetch_batches
+
         m = self.metrics
         m.start("load")
-        for bases, lens in batches:
+        for bases, lens in prefetch_batches(batches):
             self.load_batch(bases, lens)
         jax.block_until_ready(self.cascade)
         m.stop("load")
 
     def load_batch(self, bases, lens):
-        self.cascade = self._load(self.cascade, jnp.asarray(bases),
-                                  jnp.asarray(lens), cfg=self.cfg)
+        if self.node_cascade is not None:
+            self.cascade, self.node_cascade = self._load_nodes(
+                self.cascade, self.node_cascade, jnp.asarray(bases),
+                jnp.asarray(lens), cfg=self.cfg)
+        else:
+            self.cascade = self._load(self.cascade, jnp.asarray(bases),
+                                      jnp.asarray(lens), cfg=self.cfg)
         self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
 
     # ---- phase 2 ---------------------------------------------------------
@@ -109,9 +124,11 @@ class Pipeline:
         self.scan_batches(batch_iter(reads, self.cfg))
 
     def scan_batches(self, batches):
+        from faucet_tpu.io.stream import prefetch_batches
+
         m = self.metrics
         m.start("scan")
-        for bases, lens in batches:
+        for bases, lens in prefetch_batches(batches):
             self.scan_batch(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("scan")
@@ -119,7 +136,7 @@ class Pipeline:
     def scan_batch(self, bases, lens):
         res = self._scan(self.cascade, self.junctions, self.sinks,
                          jnp.asarray(bases), jnp.asarray(lens),
-                         cfg=self.cfg)
+                         cfg=self.cfg, node_cascade=self.node_cascade)
         self.junctions = res.junctions
         self.sinks = res.sinks
         self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))

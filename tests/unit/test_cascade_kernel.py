@@ -49,13 +49,23 @@ def test_fused_matches_reference(rng, la, lb, n, dup):
 
     ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), la, lb,
                               jnp.asarray(mask))
-    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+    aw, bw, nb1 = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
                                   ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
                                   interpret=True)
+    # new-B flags: the kernel flags the promoting occurrence, the XLA
+    # path flags the representative lane — the flagged KEY SETS and
+    # per-key flag counts must agree
+    _, nb_ref = BL.cascade_insert_nb(c0, jnp.asarray(khi),
+                                     jnp.asarray(klo), jnp.asarray(mask),
+                                     cfg)
+    def key_multiset(flags):
+        f = np.asarray(flags)
+        return sorted(zip(khi[f].tolist(), klo[f].tolist()))
+    assert key_multiset(nb1) == key_multiset(nb_ref)
     ba2, bb2, h1r2, h22 = _blocks(jnp.asarray(khi[::-1].copy()),
                                   jnp.asarray(klo[::-1].copy()), la, lb,
                                   jnp.asarray(mask[::-1].copy()))
-    aw, bw = cascade_insert_fused(aw, bw, ba2, bb2, h1r2, h22, cfg.n_hash_a, cfg.n_hash_b,
+    aw, bw, _nb = cascade_insert_fused(aw, bw, ba2, bb2, h1r2, h22, cfg.n_hash_a, cfg.n_hash_b,
                                   interpret=True)
 
     np.testing.assert_array_equal(np.asarray(aw),
@@ -77,7 +87,7 @@ def test_fused_sharded_addressing(rng):
                             jnp.asarray(mask), cfg)
     ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 20, 17,
                               jnp.asarray(mask), shard_bits=2)
-    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+    aw, bw, _nb = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
                                   ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(aw),
@@ -96,8 +106,32 @@ def test_fused_empty_and_all_masked(rng):
     mask = np.zeros(n, bool)
     ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 18, 16,
                               jnp.asarray(mask))
-    aw, bw = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+    aw, bw, _nb = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
                                   ba, bb, h1r, h2, cfg.n_hash_a, cfg.n_hash_b,
                                   interpret=True)
     assert np.asarray(aw).sum() == 0
     assert np.asarray(bw).sum() == 0
+
+
+def test_sparse_matches_dense(rng):
+    """The 32-lane word-skip variant must produce the same filters as the
+    dense kernel for a mostly-False mask (the node-insert call shape)."""
+    cfg = Config(size_kmer=31, max_read_length=64,
+                 bloom_a_log2_override=20, bloom_b_log2_override=17)
+    n = 4096
+    khi = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    klo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    mask = rng.random(n) < 0.03
+    c0 = BL.make_cascade(cfg)
+    ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 20, 17,
+                              jnp.asarray(mask))
+    aw_d, bw_d, _ = cascade_insert_fused(
+        c0.a_bloom.words, c0.b_bloom.words, ba, bb, h1r, h2,
+        cfg.n_hash_a, cfg.n_hash_b, interpret=True)
+    aw_s, bw_s, nb = cascade_insert_fused(
+        c0.a_bloom.words, c0.b_bloom.words, ba, bb, h1r, h2,
+        cfg.n_hash_a, cfg.n_hash_b, live=jnp.asarray(mask), sparse=True,
+        interpret=True)
+    assert nb is None
+    np.testing.assert_array_equal(np.asarray(aw_s), np.asarray(aw_d))
+    np.testing.assert_array_equal(np.asarray(bw_s), np.asarray(bw_d))
