@@ -7,8 +7,8 @@ four-stage XLA+Pallas pipeline (2-key batch sort for duplicate counts,
 gather-probe of A, Pallas insert pass over A, Pallas insert pass over B):
 
   - filter B is VMEM-resident for the whole kernel; filter A streams
-    through VMEM in tiles (grid dim 0) — at bench scale A is 16 MB and
-    this chip's VMEM fits ~8 MB in+out blocks, so A takes a few tiles;
+    through VMEM in tiles (grid dim 0) — aliased in/out blocks share one
+    buffer, so a 16 MB A sits in a single tile on this chip;
   - keys are processed IN STREAM ORDER by a scalar loop, so the cascade
     is EXACTLY the reference's sequential semantics — a k-mer occurring
     twice in one batch primes A with its first occurrence and lands in B
@@ -35,10 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = np.uint32(0xFFFFFFFF)
 _LANES = 128
 _KEY_CHUNK = 1 << 11
-# A-tile sizing: in+out VMEM blocks both materialize, plus B in+out;
-# keep 2*(tile + B) within the measured ~16 MB VMEM capacity
-# (bench/micro_profile.py --vmem: 8 MB in + 8 MB out compiles, 12+12
-# does not). Fewer tiles = fewer replays of the key stream.
+# A-tile sizing: aliased in/out blocks share one VMEM buffer (verified
+# empirically: a 16 MB tile + 4 MB resident filter compiles and runs
+# fastest, bench/tune_kernels.py), so the budget counts UNIQUE buffers.
 _VMEM_BUDGET = 22 * (1 << 20)
 
 
@@ -79,42 +78,40 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
                               np.uint32(0))
         return m
 
-    def key_body(i):
+    # branch-free body: every key does both filters' clamped RMW with
+    # conditional VALUES — @pl.when regions measured 1.5-3x slower
+    # (they defeat scalar/vector pipelining; bench/tune_kernels.py).
+    # Unconditional stores write back unchanged data where the condition
+    # is off; sequential order preserves exact cascade semantics.
+    def body(i, _):
         blk_a = ba_ref[i]
         rel_a = blk_a - base
         in_tile = (blk_a != SENTINEL) & (rel_a < tile_blocks)
+        rel_c = jnp.where(in_tile, rel_a, np.uint32(0))
+        h1r = h1r_ref[i]
+        h2 = h2_ref[i]
+        row8a, sub_a, lane0a = _window(rel_c)
+        mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+        cur_a = a_out[pl.ds(row8a, 8), :]
+        in_a = in_tile & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
 
-        # nb carries each key's new-B flag across A-tile passes (exactly
-        # one pass owns a key's block)
-        @pl.when(jnp.logical_not(in_tile))
-        def _():
-            nb_out[i] = nb_in[i] if n_tiles > 1 else jnp.uint32(0)
+        row8b, sub_b, lane0b = _window(bb_ref[i])
+        mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+        cur_b = b_out[pl.ds(row8b, 8), :]
+        was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
 
-        @pl.when(in_tile)
-        def _():
-            h1r = h1r_ref[i]
-            h2 = h2_ref[i]
-            row8a, sub_a, lane0a = _window(rel_a)
-            mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
-            cur_a = a_out[pl.ds(row8a, 8), :]
-            in_a = jnp.sum((cur_a & mask_a) != mask_a) == 0
-
-            @pl.when(in_a)
-            def _():
-                row8b, sub_b, lane0b = _window(bb_ref[i])
-                mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
-                cur_b = b_out[pl.ds(row8b, 8), :]
-                was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
-                b_out[pl.ds(row8b, 8), :] = cur_b | mask_b
-                nb_out[i] = jnp.logical_not(was_b).astype(jnp.uint32)
-
-            @pl.when(jnp.logical_not(in_a))
-            def _():
-                a_out[pl.ds(row8a, 8), :] = cur_a | mask_a
-                nb_out[i] = jnp.uint32(0)
-
-    def body(i, _):
-        key_body(i)
+        add_a = in_tile & jnp.logical_not(in_a)
+        a_out[pl.ds(row8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
+                                                      np.uint32(0))
+        b_out[pl.ds(row8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
+                                                      np.uint32(0))
+        new_b = (in_a & jnp.logical_not(was_b)).astype(jnp.uint32)
+        if n_tiles == 1:
+            nb_out[i] = new_b
+        else:
+            # carry each key's flag across A-tile passes (exactly one
+            # pass owns its block)
+            nb_out[i] = jnp.where(in_tile, new_b, nb_in[i])
         return 0
 
     jax.lax.fori_loop(0, ba_ref.shape[0], body, 0)
@@ -199,10 +196,10 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref,
 
 
 def _pick_tile_words(wa: int, wb: int) -> int:
-    budget_words = _VMEM_BUDGET // 4 // 2 - wb  # /2: in+out blocks
+    budget_words = _VMEM_BUDGET // 4 - wb  # aliased in/out: count once
     if wa <= budget_words:
         return wa
-    tile = 1 << 21  # start at 8 MB
+    tile = 1 << 22  # start at 16 MB
     while tile > budget_words or wa % tile:
         tile >>= 1
     assert tile >= 4096, (wa, wb)
@@ -210,12 +207,14 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
-                                             "sparse", "interpret"))
+                                             "sparse", "tile_override",
+                                             "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
                          n_hash_b: int = None, live: jnp.ndarray = None,
-                         sparse: bool = False, interpret: bool = False):
+                         sparse: bool = False, tile_override: int = None,
+                         interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
     updated (a_words, b_words, new_b) where new_b[i] marks keys whose B
@@ -230,7 +229,7 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         n_hash_b = n_hash_a
     wa, wb = a_words.shape[0], b_words.shape[0]
     assert wa % _LANES == 0 and wb % _LANES == 0
-    tile_words = _pick_tile_words(wa, wb)
+    tile_words = tile_override or _pick_tile_words(wa, wb)
     n_tiles = wa // tile_words
     n = block_a.shape[0]
     chunk = min(_KEY_CHUNK, max(((n + 31) // 32) * 32, 32))

@@ -31,12 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = np.uint32(0xFFFFFFFF)
 _LANES = 128
 _KEY_CHUNK = 1 << 11
-_UNROLL = 4
-_VMEM_BUDGET = 12 * (1 << 20)
+_UNROLL = 16
+_VMEM_BUDGET = 20 * (1 << 20)
 
 
 def _kernel(block_ref, h1r_ref, h2_ref, res_in, w_ref, res_ref, *,
-            tile_words: int, n_hash: int, n_tiles: int):
+            tile_words: int, n_hash: int, n_tiles: int,
+            unroll: int = _UNROLL):
     tile_blocks = tile_words // 16
     base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
@@ -44,53 +45,41 @@ def _kernel(block_ref, h1r_ref, h2_ref, res_in, w_ref, res_ref, *,
             jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
     n = block_ref.shape[0]
 
-    def hit_of(rel, h1r, h2):
-        row = (rel >> np.uint32(3)).astype(jnp.int32)
-        sub = (row & 7).astype(jnp.uint32)
-        row8 = pl.multiple_of((row >> 3) << 3, 8)
-        tbase = sub * np.uint32(_LANES) + \
-            (rel & np.uint32(7)) * np.uint32(16)
-        m = jnp.zeros((8, _LANES), jnp.uint32)
-        for j in range(n_hash):
-            bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
-            tgt = tbase + (bit >> np.uint32(5))
-            m = m | jnp.where(flat == tgt,
-                              jnp.uint32(1) << (bit & np.uint32(31)),
-                              np.uint32(0))
-        cur = w_ref[pl.ds(row8, 8), :]
-        return jnp.sum((cur & m) != m) == 0
-
+    # branch-free body: masked (SENTINEL) lanes do clamped work and
+    # store 0 — measured 3x faster than @pl.when skipping, whose
+    # predicated regions defeat the scalar/vector pipelining
+    # (bench/tune_kernels.py)
     def body(g, _):
-        for u in range(_UNROLL):
-            i = g * _UNROLL + u
+        for u in range(unroll):
+            i = g * unroll + u
             blk = block_ref[i]
             rel = blk - base
-            # masked lanes (SENTINEL) skip the probe entirely — ~38% of
-            # scan extension lanes are masked (non-solid windows + slots
-            # known from the read's own neighbor windows)
+            in_tile = (blk != SENTINEL) & (rel < tile_blocks)
+            rel_c = jnp.where(in_tile, rel, np.uint32(0))
+            row = (rel_c >> np.uint32(3)).astype(jnp.int32)
+            sub = (row & 7).astype(jnp.uint32)
+            row8 = pl.multiple_of((row >> 3) << 3, 8)
+            tbase = sub * np.uint32(_LANES) + \
+                (rel_c & np.uint32(7)) * np.uint32(16)
+            h1r = h1r_ref[i]
+            h2 = h2_ref[i]
+            m = jnp.zeros((8, _LANES), jnp.uint32)
+            for j in range(n_hash):
+                bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
+                tgt = tbase + (bit >> np.uint32(5))
+                m = m | jnp.where(flat == tgt,
+                                  jnp.uint32(1) << (bit & np.uint32(31)),
+                                  np.uint32(0))
+            cur = w_ref[pl.ds(row8, 8), :]
+            hit = in_tile & (jnp.sum((cur & m) != m) == 0)
             if n_tiles == 1:
-                @pl.when(blk != SENTINEL)
-                def _():
-                    res_ref[i] = hit_of(rel, h1r_ref[i],
-                                        h2_ref[i]).astype(jnp.uint32)
-
-                @pl.when(blk == SENTINEL)
-                def _():
-                    res_ref[i] = jnp.uint32(0)
+                res_ref[i] = hit.astype(jnp.uint32)
             else:
-                in_tile = (blk != SENTINEL) & (rel < tile_blocks)
-
-                @pl.when(in_tile)
-                def _():
-                    res_ref[i] = hit_of(rel, h1r_ref[i],
-                                        h2_ref[i]).astype(jnp.uint32)
-
-                @pl.when(jnp.logical_not(in_tile))
-                def _():
-                    res_ref[i] = res_in[i]
+                res_ref[i] = jnp.where(in_tile, hit.astype(jnp.uint32),
+                                       res_in[i])
         return 0
 
-    jax.lax.fori_loop(0, n // _UNROLL, body, 0)
+    jax.lax.fori_loop(0, n // unroll, body, 0)
 
 
 def _pick_tile_words(w: int) -> int:
@@ -104,9 +93,11 @@ def _pick_tile_words(w: int) -> int:
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("n_hash", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_hash", "unroll",
+                                             "interpret"))
 def bloom_probe_keys(words: jnp.ndarray, block: jnp.ndarray,
                      h1r: jnp.ndarray, h2: jnp.ndarray, n_hash: int,
+                     unroll: int = _UNROLL,
                      interpret: bool = False) -> jnp.ndarray:
     """Membership of each key (all n_hash blocked bits set). SENTINEL
     block entries return False. Returns bool[N]."""
@@ -115,8 +106,8 @@ def bloom_probe_keys(words: jnp.ndarray, block: jnp.ndarray,
     tile_words = _pick_tile_words(w)
     n_tiles = w // tile_words
     n = block.shape[0]
-    n_up = ((n + _UNROLL - 1) // _UNROLL) * _UNROLL
-    chunk = min(_KEY_CHUNK, max(n_up, _UNROLL))
+    n_up = ((n + unroll - 1) // unroll) * unroll
+    chunk = min(_KEY_CHUNK, max(n_up, unroll))
     pad = (-n) % chunk
     if pad:
         fill = lambda a, v: jnp.concatenate(
@@ -131,7 +122,7 @@ def bloom_probe_keys(words: jnp.ndarray, block: jnp.ndarray,
     res0 = jnp.zeros((block.shape[0],), jnp.uint32)
     res = pl.pallas_call(
         functools.partial(_kernel, tile_words=tile_words, n_hash=n_hash,
-                          n_tiles=n_tiles),
+                          n_tiles=n_tiles, unroll=unroll),
         grid=(n_tiles, n_chunks),
         in_specs=[spec_s, spec_s, spec_s, spec_s, spec_w],
         out_specs=spec_s,

@@ -81,3 +81,30 @@ def test_bloom_nodes_genome_true():
         assert s in both, f"contig not genome-true: {s[:50]}..."
         total += len(c.seq)
     assert total >= 0.9 * len(genome)
+
+
+def test_bloom_junction_free_not_fragmented():
+    """A junction-free linear genome must assemble into ~one contig in
+    Bloom mode: walks that hit Bloom-fp branches re-arm via lookahead
+    (graph/walk.py resolve_ambiguous) instead of fragmenting — the
+    regression that produced 66 fragments from a 20 kb genome before."""
+    rng = np.random.default_rng(321)
+    genome = simulate.random_genome(rng, 20000)
+    reads = []
+    L = 100
+    for _ in range(20000 * 30 // L // 2):
+        s = rng.integers(0, len(genome) - L)
+        r = genome[s:s + L]
+        reads += [r, r]  # duplicates -> every covered k-mer is solid
+    cfg = Config(size_kmer=21, max_read_length=100, batch_reads=256,
+                 exact=False, estimated_kmers=1 << 15, singletons=1 << 15,
+                 junction_capacity=1 << 13, sink_capacity=1 << 15,
+                 fp_rate=0.01, junction_detect="nodes")
+    p = Pipeline(cfg)
+    p.load_reads(reads)
+    p.scan_reads(reads)
+    g = p.build()
+    g = p.clean_graph(g)
+    lens = sorted((len(g.contigs[i].seq) for i in g.live()), reverse=True)
+    assert lens[0] >= 0.95 * len(genome), lens[:5]
+    assert len(lens) <= 3, lens
