@@ -220,9 +220,13 @@ def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
 
         rk_hi, rk_lo, lk_hi, lk_lo = ND.probe_keys(
             key_hi, key_lo, other_hi, other_lo, cfg.size_kmer)
-        branch_r = node_solid_fn(rk_hi, rk_lo, solid)
-        branch_l = node_solid_fn(lk_hi, lk_lo, solid)
-        is_junc = solid & (branch_r | branch_l)
+        # one probe call for both branch queries: one kernel launch
+        # locally, one routing round when sharded
+        qhi = jnp.stack([rk_hi, lk_hi])
+        qlo = jnp.stack([rk_lo, lk_lo])
+        branch = node_solid_fn(qhi, qlo,
+                               jnp.broadcast_to(solid, qhi.shape))
+        is_junc = solid & (branch[0] | branch[1])
     else:
         # The read itself answers 2 of the 8 extension probes: the slot
         # the read exits a window by IS the next window's k-mer (same

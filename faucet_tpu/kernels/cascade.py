@@ -78,43 +78,69 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
                               np.uint32(0))
         return m
 
-    # branch-free body: every key does both filters' clamped RMW with
-    # conditional VALUES — @pl.when regions measured 1.5-3x slower
-    # (they defeat scalar/vector pipelining; bench/tune_kernels.py).
-    # Unconditional stores write back unchanged data where the condition
-    # is off; sequential order preserves exact cascade semantics.
-    def body(i, _):
-        blk_a = ba_ref[i]
-        rel_a = blk_a - base
-        in_tile = (blk_a != SENTINEL) & (rel_a < tile_blocks)
-        rel_c = jnp.where(in_tile, rel_a, np.uint32(0))
-        h1r = h1r_ref[i]
-        h2 = h2_ref[i]
-        row8a, sub_a, lane0a = _window(rel_c)
-        mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
-        cur_a = a_out[pl.ds(row8a, 8), :]
-        in_a = in_tile & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+    # Branch-free unrolled body: G keys per iteration, loads pipelined.
+    # @pl.when regions measured 1.5-3x slower (they defeat scalar/vector
+    # pipelining; bench/tune_kernels.py); instead every key does both
+    # filters' clamped RMW with conditional VALUES. Exact sequential
+    # semantics inside a group are restored by patching: key g's
+    # effective window state ORs in the masks of earlier group members
+    # that hit the SAME aligned (8,128) window and actually inserted —
+    # this covers in-batch duplicates (same block by definition) and
+    # coincidental window sharing.
+    G = 4 if n_tiles == 1 else 1
+    zero = np.uint32(0)
 
-        row8b, sub_b, lane0b = _window(bb_ref[i])
-        mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
-        cur_b = b_out[pl.ds(row8b, 8), :]
-        was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+    def body(it, _):
+        i0 = it * G
+        blk_a = [ba_ref[i0 + g] for g in range(G)]
+        h1r = [h1r_ref[i0 + g] for g in range(G)]
+        h2 = [h2_ref[i0 + g] for g in range(G)]
+        valid, row8a, mask_a, cur_a = [], [], [], []
+        row8b, mask_b, cur_b = [], [], []
+        for g in range(G):
+            rel = blk_a[g] - base
+            ok = (blk_a[g] != SENTINEL) & (rel < tile_blocks)
+            rel_c = jnp.where(ok, rel, zero)
+            r8a, sub_a, lane0a = _window(rel_c)
+            r8b, sub_b, lane0b = _window(bb_ref[i0 + g])
+            valid.append(ok)
+            row8a.append(r8a)
+            row8b.append(r8b)
+            mask_a.append(mask_at(sub_a, lane0a, h1r[g], h2[g], n_hash_a))
+            mask_b.append(mask_at(sub_b, lane0b, h1r[g], h2[g], n_hash_b))
+            cur_a.append(a_out[pl.ds(r8a, 8), :])
+            cur_b.append(b_out[pl.ds(r8b, 8), :])
 
-        add_a = in_tile & jnp.logical_not(in_a)
-        a_out[pl.ds(row8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
-                                                      np.uint32(0))
-        b_out[pl.ds(row8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
-                                                      np.uint32(0))
-        new_b = (in_a & jnp.logical_not(was_b)).astype(jnp.uint32)
-        if n_tiles == 1:
-            nb_out[i] = new_b
-        else:
-            # carry each key's flag across A-tile passes (exactly one
-            # pass owns its block)
-            nb_out[i] = jnp.where(in_tile, new_b, nb_in[i])
+        in_a, add_a = [], []
+        eff_a, eff_b = list(cur_a), list(cur_b)
+        for g in range(G):
+            for i in range(g):
+                eff_a[g] = eff_a[g] | jnp.where(
+                    (row8a[i] == row8a[g]) & add_a[i], mask_a[i], zero)
+                eff_b[g] = eff_b[g] | jnp.where(
+                    (row8b[i] == row8b[g]) & in_a[i], mask_b[i], zero)
+            ia = valid[g] & (jnp.sum((eff_a[g] & mask_a[g])
+                                     != mask_a[g]) == 0)
+            was_b = jnp.sum((eff_b[g] & mask_b[g]) != mask_b[g]) == 0
+            in_a.append(ia)
+            add_a.append(valid[g] & jnp.logical_not(ia))
+            new_b = (ia & jnp.logical_not(was_b)).astype(jnp.uint32)
+            if n_tiles == 1:
+                nb_out[i0 + g] = new_b
+            else:
+                # carry each key's flag across A-tile passes (exactly
+                # one pass owns its block)
+                nb_out[i0 + g] = jnp.where(valid[g], new_b,
+                                           nb_in[i0 + g])
+
+        for g in range(G):
+            a_out[pl.ds(row8a[g], 8), :] = eff_a[g] | jnp.where(
+                add_a[g], mask_a[g], zero)
+            b_out[pl.ds(row8b[g], 8), :] = eff_b[g] | jnp.where(
+                in_a[g], mask_b[g], zero)
         return 0
 
-    jax.lax.fori_loop(0, ba_ref.shape[0], body, 0)
+    jax.lax.fori_loop(0, ba_ref.shape[0] // G, body, 0)
 
 
 def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref,
