@@ -52,7 +52,7 @@ def _window(rel_block):
 
 def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
             a_out, b_out, nb_out, *, tile_words: int, n_hash_a: int,
-            n_hash_b: int, n_tiles: int):
+            n_hash_b: int, n_tiles: int, group: int = None):
     tile_blocks = tile_words // 16
     base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
@@ -87,7 +87,7 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
     # that hit the SAME aligned (8,128) window and actually inserted —
     # this covers in-batch duplicates (same block by definition) and
     # coincidental window sharing.
-    G = 4 if n_tiles == 1 else 1
+    G = group or (4 if n_tiles == 1 else 1)
     zero = np.uint32(0)
 
     def body(it, _):
@@ -234,13 +234,13 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
                                              "sparse", "tile_override",
-                                             "interpret"))
+                                             "group", "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
                          n_hash_b: int = None, live: jnp.ndarray = None,
                          sparse: bool = False, tile_override: int = None,
-                         interpret: bool = False):
+                         group: int = None, interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
     updated (a_words, b_words, new_b) where new_b[i] marks keys whose B
@@ -307,7 +307,7 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
     a_out, b_out, new_b = pl.pallas_call(
         functools.partial(_kernel, tile_words=tile_words,
                           n_hash_a=n_hash_a, n_hash_b=n_hash_b,
-                          n_tiles=n_tiles),
+                          n_tiles=n_tiles, group=group),
         grid=(n_tiles, n_chunks),
         in_specs=[spec_s, spec_s, spec_s, spec_s, spec_s, spec_a, spec_b],
         out_specs=(spec_a, spec_b, spec_s),

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = np.uint32(0xFFFFFFFF)
 _LANES = 128
 _KEY_CHUNK = 1 << 11
-_UNROLL = 16
+_UNROLL = 32
 _VMEM_BUDGET = 20 * (1 << 20)
 
 
