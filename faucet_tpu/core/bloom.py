@@ -260,11 +260,18 @@ def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
         lb = cfg.bloom_b_bits.bit_length() - 1
         block_a, h1r, h2 = _block_h1r_h2(khi, klo, la, sb)
         block_b, _, _ = _block_h1r_h2(khi, klo, lb, sb)
+        mask = jnp.asarray(mask)
+        # NOTE: pre-filtering keys already in B (complete cascade
+        # no-ops) through the word-skip sparse kernel was tried and is
+        # 2.4x SLOWER at the load pass's ~50% live density — the per-bit
+        # @pl.when chain defeats pipelining (BENCH_NOTES.md). The sparse
+        # path pays off only for genuinely sparse masks (node endpoint
+        # inserts, ~1-5% live); revisit with live-lane compaction.
         block_a = jnp.where(mask, block_a, CSENT)
         aw, bw, new_b = cascade_insert_fused(
             c.a_bloom.words, c.b_bloom.words, block_a, block_b, h1r, h2,
             cfg.n_hash_a, cfg.n_hash_b,
-            live=(jnp.asarray(mask) if sparse else None), sparse=sparse)
+            live=(mask if sparse else None), sparse=sparse)
         return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b
     skhi, sklo, counts, rep, sidx = _batch_counts(khi, klo, mask)
     if cfg.exact:

@@ -143,14 +143,17 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
     jax.lax.fori_loop(0, ba_ref.shape[0] // G, body, 0)
 
 
-def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref,
-                   a_in, b_in, a_out, b_out, *, tile_words: int,
+def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
+                   a_in, b_in, a_out, b_out, nb_out, *, tile_words: int,
                    n_hash_a: int, n_hash_b: int):
     """Sparse-mask variant: live_ref packs 32 keys' liveness per uint32;
-    a zero word skips all 32 lanes in a few cycles. Used for the
-    branch-node endpoint inserts, where ~1-5%% of lanes are live after
-    the first promotion flags (core/nodes.py) — per-lane skip cost would
-    otherwise dominate."""
+    a zero word skips all 32 lanes in a few cycles. Used where most
+    lanes are dead: the branch-node endpoint inserts (~1-5% live) and
+    the main cascade after the already-in-B pre-filter (the steady-state
+    load pass is mostly repeat k-mers — complete cascade no-ops).
+
+    new_b flags are written only for live lanes; the aliased zero
+    buffer keeps dead lanes False."""
     tile_blocks = tile_words // 16
     base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
@@ -194,7 +197,9 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref,
                 row8b, sub_b, lane0b = _window(bb_ref[i])
                 mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
                 cur_b = b_out[pl.ds(row8b, 8), :]
+                was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
                 b_out[pl.ds(row8b, 8), :] = cur_b | mask_b
+                nb_out[i] = jnp.logical_not(was_b).astype(jnp.uint32)
 
             @pl.when(jnp.logical_not(in_a))
             def _():
@@ -286,22 +291,25 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         # must match the array's XLA tiling; full-array blocks always do)
         spec_l = pl.BlockSpec((words32.shape[0],), lambda t, c: (0,),
                               memory_space=pltpu.SMEM)
-        a_out, b_out = pl.pallas_call(
+        nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
+        a_out, b_out, new_b = pl.pallas_call(
             functools.partial(_kernel_sparse, tile_words=tile_words,
                               n_hash_a=n_hash_a, n_hash_b=n_hash_b),
             grid=(n_tiles, n_chunks),
-            in_specs=[spec_l, spec_s, spec_s, spec_s, spec_s, spec_a,
-                      spec_b],
-            out_specs=(spec_a, spec_b),
+            in_specs=[spec_l, spec_s, spec_s, spec_s, spec_s, spec_s,
+                      spec_a, spec_b],
+            out_specs=(spec_a, spec_b, spec_s),
             out_shape=(
                 jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
-                jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32)),
-            input_output_aliases={5: 0, 6: 1},
+                jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((block_a.shape[0],), jnp.uint32)),
+            input_output_aliases={5: 2, 6: 0, 7: 1},
             interpret=interpret,
-        )(words32, block_a, block_b, h1r, h2,
+        )(words32, block_a, block_b, h1r, h2, nb0,
           a_words.reshape(wa // _LANES, _LANES),
           b_words.reshape(wb // _LANES, _LANES))
-        return a_out.reshape(wa), b_out.reshape(wb), None
+        return (a_out.reshape(wa), b_out.reshape(wb),
+                (new_b[:n] if pad else new_b) > 0)
 
     nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
     a_out, b_out, new_b = pl.pallas_call(

@@ -125,13 +125,54 @@ def test_sparse_matches_dense(rng):
     c0 = BL.make_cascade(cfg)
     ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 20, 17,
                               jnp.asarray(mask))
-    aw_d, bw_d, _ = cascade_insert_fused(
+    aw_d, bw_d, nb_d = cascade_insert_fused(
         c0.a_bloom.words, c0.b_bloom.words, ba, bb, h1r, h2,
         cfg.n_hash_a, cfg.n_hash_b, interpret=True)
-    aw_s, bw_s, nb = cascade_insert_fused(
+    aw_s, bw_s, nb_s = cascade_insert_fused(
         c0.a_bloom.words, c0.b_bloom.words, ba, bb, h1r, h2,
         cfg.n_hash_a, cfg.n_hash_b, live=jnp.asarray(mask), sparse=True,
         interpret=True)
-    assert nb is None
     np.testing.assert_array_equal(np.asarray(aw_s), np.asarray(aw_d))
     np.testing.assert_array_equal(np.asarray(bw_s), np.asarray(bw_d))
+    np.testing.assert_array_equal(np.asarray(nb_s), np.asarray(nb_d))
+
+
+def test_prefilter_path_bit_identical(rng):
+    """The already-in-B pre-filter (core/bloom.cascade_insert_nb TPU
+    path) must leave filters AND new_b flags bit-identical to dense
+    processing: a key in B is a complete cascade no-op."""
+    from faucet_tpu.kernels.probe import bloom_probe_keys
+
+    cfg = Config(size_kmer=31, max_read_length=64,
+                 bloom_a_log2_override=20, bloom_b_log2_override=17)
+    n = 2048
+    khi = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    klo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    mask = jnp.asarray(rng.random(n) < 0.95)
+    c0 = BL.make_cascade(cfg)
+    ba, bb, h1r, h2 = _blocks(jnp.asarray(khi), jnp.asarray(klo), 20, 17,
+                              mask)
+    # two dense rounds: most keys end up solid (in B)
+    aw, bw, _ = cascade_insert_fused(c0.a_bloom.words, c0.b_bloom.words,
+                                     ba, bb, h1r, h2, cfg.n_hash_a,
+                                     cfg.n_hash_b, interpret=True)
+    aw, bw, _ = cascade_insert_fused(aw, bw, ba, bb, h1r, h2,
+                                     cfg.n_hash_a, cfg.n_hash_b,
+                                     interpret=True)
+    # third round, dense vs prefiltered-sparse: must match exactly
+    aw_d, bw_d, nb_d = cascade_insert_fused(aw, bw, ba, bb, h1r, h2,
+                                            cfg.n_hash_a, cfg.n_hash_b,
+                                            interpret=True)
+    in_b = bloom_probe_keys(bw, jnp.where(mask, bb, SENTINEL), h1r, h2,
+                            cfg.n_hash_b, interpret=True)
+    live = mask & ~in_b
+    ba_l = jnp.where(live, BL._block_h1r_h2(jnp.asarray(khi),
+                                            jnp.asarray(klo), 20)[0],
+                     SENTINEL)
+    aw_s, bw_s, nb_s = cascade_insert_fused(aw, bw, ba_l, bb, h1r, h2,
+                                            cfg.n_hash_a, cfg.n_hash_b,
+                                            live=live, sparse=True,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(aw_s), np.asarray(aw_d))
+    np.testing.assert_array_equal(np.asarray(bw_s), np.asarray(bw_d))
+    np.testing.assert_array_equal(np.asarray(nb_s), np.asarray(nb_d))
