@@ -144,21 +144,25 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
 
 
 def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
-                   a_in, b_in, a_out, b_out, nb_out, *, tile_words: int,
+                   a_in, b_in, a_out, b_out, nb_out,
+                   c_ba, c_bb, c_h1r, c_h2, c_idx, *, tile_words: int,
                    n_hash_a: int, n_hash_b: int):
-    """Sparse-mask variant: live_ref packs 32 keys' liveness per uint32;
-    a zero word skips all 32 lanes in a few cycles. Used where most
-    lanes are dead: the branch-node endpoint inserts (~1-5% live) and
-    the main cascade after the already-in-B pre-filter (the steady-state
-    load pass is mostly repeat k-mers — complete cascade no-ops).
+    """Sparse-mask variant: per chunk, live lanes are first COMPACTED
+    into SMEM scratch with the branch-free running-cursor trick
+    (unconditional `scratch[cnt] = v; cnt += live_bit` — dead lanes
+    write garbage that the next live lane overwrites), then the cascade
+    loop runs over exactly the live count. Per-lane @pl.when bit
+    chains were measured ~6x slower per live lane (BENCH_NOTES.md).
 
-    new_b flags are written only for live lanes; the aliased zero
-    buffer keeps dead lanes False."""
+    Used where lanes are mostly dead: the branch-node endpoint inserts
+    (~1-5% live). new_b flags are scattered back to the original lane
+    positions; the aliased zero buffer keeps dead lanes False."""
     tile_blocks = tile_words // 16
     base = (pl.program_id(0) * tile_blocks).astype(jnp.uint32)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
             np.uint32(_LANES) +
             jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
+    n = ba_ref.shape[0]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -179,51 +183,62 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
                               np.uint32(0))
         return m
 
-    def key_body(i):
-        blk_a = ba_ref[i]
-        rel_a = blk_a - base
+    # ---- phase 1: branch-free compaction of live lanes ------------------
+    base_w = pl.program_id(1) * (n // 32)
 
-        @pl.when((blk_a != SENTINEL) & (rel_a < tile_blocks))
-        def _():
-            h1r = h1r_ref[i]
-            h2 = h2_ref[i]
-            row8a, sub_a, lane0a = _window(rel_a)
-            mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
-            cur_a = a_out[pl.ds(row8a, 8), :]
-            in_a = jnp.sum((cur_a & mask_a) != mask_a) == 0
-
-            @pl.when(in_a)
-            def _():
-                row8b, sub_b, lane0b = _window(bb_ref[i])
-                mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
-                cur_b = b_out[pl.ds(row8b, 8), :]
-                was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
-                b_out[pl.ds(row8b, 8), :] = cur_b | mask_b
-                nb_out[i] = jnp.logical_not(was_b).astype(jnp.uint32)
-
-            @pl.when(jnp.logical_not(in_a))
-            def _():
-                a_out[pl.ds(row8a, 8), :] = cur_a | mask_a
-
-    chunk_words = ba_ref.shape[0] // 32
-    base_w = pl.program_id(1) * chunk_words
-
-    def word_body(w, _):
+    def compact_word(w, cnt):
         lw = live_ref[base_w + w]
 
-        @pl.when(lw != 0)
-        def _():
-            def bit_body(j, _):
-                @pl.when(((lw >> j.astype(jnp.uint32)) & 1) != 0)
-                def _():
-                    key_body(w * 32 + j)
-                return 0
+        def lane(j, cnt):
+            i = w * 32 + j
+            c_ba[cnt] = ba_ref[i]
+            c_bb[cnt] = bb_ref[i]
+            c_h1r[cnt] = h1r_ref[i]
+            c_h2[cnt] = h2_ref[i]
+            c_idx[cnt] = jnp.uint32(i)
+            return cnt + ((lw >> j.astype(jnp.uint32)) & 1).astype(
+                jnp.int32)
 
-            jax.lax.fori_loop(0, 32, bit_body, 0)
+        # one branch per 32 lanes is cheap (unlike per-lane predication)
+        # and makes ultra-sparse masks (~1% live) near-free
+        return jax.lax.cond(lw != 0,
+                            lambda c: jax.lax.fori_loop(0, 32, lane, c),
+                            lambda c: c, cnt)
 
+    cnt = jax.lax.fori_loop(0, n // 32, compact_word,
+                            jnp.zeros((), jnp.int32))
+
+    # ---- phase 2: cascade over exactly cnt compacted lanes --------------
+    def body(i, _):
+        blk_a = c_ba[i]
+        rel_a = blk_a - base
+        ok = (blk_a != SENTINEL) & (rel_a < tile_blocks)
+        rel_c = jnp.where(ok, rel_a, np.uint32(0))
+        h1r = c_h1r[i]
+        h2 = c_h2[i]
+        row8a, sub_a, lane0a = _window(rel_c)
+        mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+        cur_a = a_out[pl.ds(row8a, 8), :]
+        in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+
+        row8b, sub_b, lane0b = _window(c_bb[i])
+        mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+        cur_b = b_out[pl.ds(row8b, 8), :]
+        was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+
+        add_a = ok & jnp.logical_not(in_a)
+        a_out[pl.ds(row8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
+                                                      np.uint32(0))
+        b_out[pl.ds(row8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
+                                                      np.uint32(0))
+        # scatter the flag back to the lane's original position; lanes
+        # outside this A-tile keep the carried value via a re-write
+        old = nb_out[c_idx[i]]
+        nb_out[c_idx[i]] = jnp.where(
+            ok, (in_a & jnp.logical_not(was_b)).astype(jnp.uint32), old)
         return 0
 
-    jax.lax.fori_loop(0, chunk_words, word_body, 0)
+    jax.lax.fori_loop(0, cnt, body, 0)
 
 
 def _pick_tile_words(wa: int, wb: int) -> int:
@@ -303,6 +318,8 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                 jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((block_a.shape[0],), jnp.uint32)),
+            scratch_shapes=[pltpu.SMEM((chunk,), jnp.uint32)
+                            for _ in range(5)],
             input_output_aliases={5: 2, 6: 0, 7: 1},
             interpret=interpret,
         )(words32, block_a, block_b, h1r, h2, nb0,
