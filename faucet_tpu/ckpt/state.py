@@ -22,10 +22,19 @@ from faucet_tpu.core import table as T
 
 
 def _cfg_hash(cfg: Config) -> str:
-    # only semantics-affecting fields guard the checkpoint
+    # only semantics-affecting fields guard the checkpoint. The RESOLVED
+    # junction mode and the effective per-filter hash counts are part of
+    # the contract: a filter probed with a different hash count than it
+    # was written with silently changes the effective fp rate, and a
+    # nodes-mode resume against a checkpoint without a node cascade
+    # would detect zero junctions (ADVICE r1 high/low).
     keys = ("size_kmer", "estimated_kmers", "singletons", "fp_rate",
             "two_hash", "exact", "n_shards")
     d = {k: getattr(cfg, k) for k in keys}
+    d["use_node_junctions"] = cfg.use_node_junctions
+    d["n_hash"] = (cfg.n_hash_a, cfg.n_hash_b)
+    if cfg.use_node_junctions:
+        d["n_hash_nodes"] = (cfg.n_hash_d, cfg.n_hash_e)
     return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()
 
 
@@ -84,6 +93,13 @@ def load_bloom(path: str, cfg: Config):
             b_bloom=BL.Bloom(jnp.asarray(z["ne_words"])),
             a_table=_table_from("ndt", z),
             b_table=_table_from("net", z))
+    elif cfg.use_node_junctions:
+        # a nodes-mode scan against an empty node cascade would detect
+        # ZERO junctions and silently emit wrong contigs (ADVICE r1 high)
+        raise ValueError(
+            f"checkpoint {path} has no branch-node cascade but this run "
+            "resolves junction_detect=nodes; re-run with "
+            "--junction_detect ext8 or rebuild the checkpoint")
     return cascade, node_cascade
 
 

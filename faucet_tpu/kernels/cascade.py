@@ -172,6 +172,14 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
     def _():
         b_out[:] = b_in[:]
 
+    # first A-tile visit of this chunk block: initialize the new_b out
+    # block from the (zeroed) input explicitly — dead lanes must read as
+    # 0 without relying on the aliased buffer's initial content
+    # (ADVICE r1 medium)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        nb_out[:] = nb_in[:]
+
     def mask_at(sub, lane0, h1r, h2, n_hash):
         m = jnp.zeros((8, _LANES), jnp.uint32)
         tbase = sub * np.uint32(_LANES) + lane0
@@ -267,10 +275,10 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
     bits were not all set before this insert (first promotion — drives
     the branch-node cascade of core/nodes.py).
 
-    sparse=True: `live` is a bool[N] expected mostly-False; lanes are
-    skipped 32-at-a-time through a packed word mask (no new_b reported,
-    returns None in its place). block_a must already be SENTINEL where
-    not live."""
+    sparse=True: `live` is a bool[N] expected mostly-False; live lanes
+    are compacted in-kernel and new_b flags are scattered back to their
+    original lane positions (dead lanes report False). block_a must
+    already be SENTINEL where not live."""
     if n_hash_b is None:
         n_hash_b = n_hash_a
     wa, wb = a_words.shape[0], b_words.shape[0]
