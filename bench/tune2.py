@@ -116,7 +116,7 @@ def main():
 
         def lb_step(s):
             c, nc, b = s
-            c, nc = SC.load_batch_nodes(c, nc, b, lens, cfgB)
+            c, nc, _n = SC.load_batch_nodes(c, nc, b, lens, cfgB)
             return (c, nc, b ^ jnp.uint8(1))
         timeit_dev(lb_step, (cas0, nc0, bases), f"load_batch_nodes B={B}")
 

@@ -261,28 +261,18 @@ def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
         block_a, h1r, h2 = _block_h1r_h2(khi, klo, la, sb)
         block_b, _, _ = _block_h1r_h2(khi, klo, lb, sb)
         mask = jnp.asarray(mask)
-        live = mask
-        import os as _os
-        if not sparse and not _os.environ.get("FAUCET_NO_PREFILTER"):
-            # pre-filter: a key already in B is a complete cascade no-op
-            # (B.add idempotent; A was primed at its promotion; new_b
-            # false). The read-only probe kernel answers membership at
-            # ~15 ns/key vs ~150 ns/key for the RMW insert loop, and the
-            # sparse kernel compacts live lanes branch-free before
-            # inserting — the steady-state load pass (mostly repeat
-            # k-mers) collapses to probes. A B-fp here pins the key as
-            # already-solid, self-consistently: every later membership
-            # probe of the same key sees the same bits.
-            from faucet_tpu.kernels.probe import bloom_probe_keys
-
-            in_b = bloom_probe_keys(
-                c.b_bloom.words, jnp.where(mask, block_b, CSENT), h1r,
-                h2, cfg.n_hash_b)
-            live = mask & ~in_b
-        block_a = jnp.where(live, block_a, CSENT)
+        block_a = jnp.where(mask, block_a, CSENT)
+        # dense masks take the two-phase group kernel (loads pipelined
+        # across the group, one store->load stall per group); genuinely
+        # sparse masks (node endpoint inserts, ~1-5% live) compact live
+        # lanes in-kernel first. NOTE: pre-filtering already-in-B keys
+        # was tried twice in round 1 (word-skip: 2.4x slower; compaction:
+        # neutral) — the two-phase kernel makes the insert path nearly
+        # probe-speed, so a prefilter pass no longer pays for itself.
         aw, bw, new_b = cascade_insert_fused(
             c.a_bloom.words, c.b_bloom.words, block_a, block_b, h1r, h2,
-            cfg.n_hash_a, cfg.n_hash_b, live=live, sparse=True)
+            cfg.n_hash_a, cfg.n_hash_b,
+            live=(mask if sparse else None), sparse=sparse)
         return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b
     skhi, sklo, counts, rep, sidx = _batch_counts(khi, klo, mask)
     if cfg.exact:

@@ -362,7 +362,9 @@ def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
     """Phase-1 load + branch-node cascade maintenance (junction_detect
     "nodes"): each k-mer newly promoted into solid filter B contributes
     its two tagged endpoint keys to the D->E node cascade
-    (core/nodes.py). Returns (cascade, node_cascade)."""
+    (core/nodes.py). Returns (cascade, node_cascade, n_new_b) where
+    n_new_b counts this batch's first-promotions into B (drives the
+    measured probes/s metric and the new_solid counter)."""
     from faucet_tpu.core import nodes as ND
 
     view = KM.kmerize(bases, lens, cfg.size_kmer)
@@ -379,4 +381,4 @@ def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
     nmask = jnp.concatenate([new_b, new_b])
     node_cascade = BL.cascade_insert(node_cascade, nhi, nlo, nmask,
                                      cfg.node_view(), sparse=True)
-    return cascade, node_cascade
+    return cascade, node_cascade, jnp.sum(new_b, dtype=I32)

@@ -143,6 +143,116 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
     jax.lax.fori_loop(0, ba_ref.shape[0] // G, body, 0)
 
 
+def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
+               b_in, a_out, b_out, nb_out, *, tile_words: int,
+               n_hash_a: int, n_hash_b: int, G: int):
+    """Two-phase group cascade: per group of G keys, ALL window loads
+    issue first (they pipeline like the read-only probe kernel,
+    ~15 ns/key), then all stores. The store->load serialization that
+    floors the sequential kernel at ~150 ns/key is paid once per GROUP
+    instead of once per key.
+
+    Correctness without in-group patching: if no two keys of a group
+    share an aligned (8,128) window in A nor in B, then (a) no store can
+    clobber another key's store (each window is written by at most one
+    key), and (b) every key's membership test is unaffected by the other
+    group members' inserts (different 512-bit blocks => disjoint bits).
+    The fast path is then bit-identical to sequential semantics. Groups
+    WITH a same-window pair (including in-batch duplicate keys) are
+    flagged by an XLA-side precompute (gb_ref, one uint32 per group) and
+    replayed through the exact sequential per-key path under lax.cond —
+    rare enough (same-window pair probability ~G^2/2/n_windows) that the
+    group cost stays near the fast path.
+
+    Single-tile A only (callers fall back to _kernel when A tiles): the
+    group-bad precompute cannot see tile-clamping, which would route
+    out-of-tile lanes' writebacks onto window 0 of every tile."""
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 0) *
+            np.uint32(_LANES) +
+            jax.lax.broadcasted_iota(jnp.uint32, (8, _LANES), 1))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        a_out[:] = a_in[:]
+        b_out[:] = b_in[:]
+
+    def mask_at(sub, lane0, h1r, h2, n_hash):
+        m = jnp.zeros((8, _LANES), jnp.uint32)
+        tbase = sub * np.uint32(_LANES) + lane0
+        for j in range(n_hash):
+            bit = (h1r + np.uint32(j + 1) * h2) & np.uint32(511)
+            tgt = tbase + (bit >> np.uint32(5))
+            m = m | jnp.where(flat == tgt,
+                              jnp.uint32(1) << (bit & np.uint32(31)),
+                              np.uint32(0))
+        return m
+
+    zero = np.uint32(0)
+
+    def key_state(i):
+        blk_a = ba_ref[i]
+        ok = blk_a != SENTINEL
+        rel_c = jnp.where(ok, blk_a, zero)
+        r8a, sub_a, lane0a = _window(rel_c)
+        r8b, sub_b, lane0b = _window(bb_ref[i])
+        h1r = h1r_ref[i]
+        h2 = h2_ref[i]
+        mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+        mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+        return ok, r8a, r8b, mask_a, mask_b
+
+    def seq_group(i0, _):
+        # exact sequential fallback (fresh load per key)
+        for g in range(G):
+            i = i0 + g
+            ok, r8a, r8b, mask_a, mask_b = key_state(i)
+            cur_a = a_out[pl.ds(r8a, 8), :]
+            in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+            cur_b = b_out[pl.ds(r8b, 8), :]
+            was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+            add_a = ok & jnp.logical_not(in_a)
+            a_out[pl.ds(r8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
+                                                        zero)
+            b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
+                                                        zero)
+            nb_out[i] = (in_a & jnp.logical_not(was_b)).astype(jnp.uint32)
+        return 0
+
+    def fast_group(i0, _):
+        st = [key_state(i0 + g) for g in range(G)]
+        cur_a = [a_out[pl.ds(s[1], 8), :] for s in st]
+        cur_b = [b_out[pl.ds(s[2], 8), :] for s in st]
+        for g in range(G):
+            ok, r8a, r8b, mask_a, mask_b = st[g]
+            in_a = ok & (jnp.sum((cur_a[g] & mask_a) != mask_a) == 0)
+            was_b = jnp.sum((cur_b[g] & mask_b) != mask_b) == 0
+            add_a = ok & jnp.logical_not(in_a)
+            a_out[pl.ds(r8a, 8), :] = cur_a[g] | jnp.where(add_a, mask_a,
+                                                           zero)
+            b_out[pl.ds(r8b, 8), :] = cur_b[g] | jnp.where(in_a, mask_b,
+                                                           zero)
+            nb_out[i0 + g] = (in_a & jnp.logical_not(was_b)).astype(
+                jnp.uint32)
+        return 0
+
+    # gb_ref: FULL bad-group bitmask (one bit per group, packed uint32;
+    # full-array SMEM block — per-chunk rank-1 blocks must match the XLA
+    # 1024-word tiling, which chunk/G entries don't)
+    grp0 = pl.program_id(1) * (ba_ref.shape[0] // G)
+
+    def body(grp, _):
+        i0 = grp * G
+        ag = (grp0 + grp).astype(jnp.uint32)
+        bad = (gb_ref[(ag >> np.uint32(5)).astype(jnp.int32)]
+               >> (ag & np.uint32(31))) & np.uint32(1)
+        jax.lax.cond(bad != 0,
+                     functools.partial(seq_group, i0),
+                     functools.partial(fast_group, i0), 0)
+        return 0
+
+    jax.lax.fori_loop(0, ba_ref.shape[0] // G, body, 0)
+
+
 def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
                    a_in, b_in, a_out, b_out, nb_out,
                    c_ba, c_bb, c_h1r, c_h2, c_idx, *, tile_words: int,
@@ -172,13 +282,12 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
     def _():
         b_out[:] = b_in[:]
 
-    # first A-tile visit of this chunk block: initialize the new_b out
-    # block from the (zeroed) input explicitly — dead lanes must read as
-    # 0 without relying on the aliased buffer's initial content
-    # (ADVICE r1 medium)
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        nb_out[:] = nb_in[:]
+    # NOTE on new_b dead lanes: only live (compacted) lanes are ever
+    # written in phase 2, so dead lanes may hold garbage — the caller
+    # masks the result with `live` on the XLA side (ADVICE r1 medium:
+    # no reliance on the aliased buffer's initial content). Live lanes
+    # are written by EVERY tile pass (owner tile writes the real flag,
+    # other tiles read-and-rewrite), so the final value is the owner's.
 
     def mask_at(sub, lane0, h1r, h2, n_hash):
         m = jnp.zeros((8, _LANES), jnp.uint32)
@@ -249,6 +358,32 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
+def _group_bad(block_a: jnp.ndarray, block_b: jnp.ndarray, G: int
+               ) -> jnp.ndarray:
+    """uint32[N/G] flag per group of G keys: 1 iff two keys of the group
+    touch the same aligned (8,128) window in filter A or in filter B
+    (incl. a dead lane's clamped-to-0 writeback against a live lane).
+    Flagged groups take _kernel_v2's exact sequential path."""
+    live = block_a != SENTINEL
+    wa = (jnp.where(live, block_a, np.uint32(0)) >> np.uint32(6)
+          ).reshape(-1, G)
+    wb = (block_b >> np.uint32(6)).reshape(-1, G)
+    lv = live.reshape(-1, G)
+    either = lv[:, :, None] | lv[:, None, :]
+    tri = jnp.asarray(np.triu(np.ones((G, G), bool), 1))
+    hit = ((wa[:, :, None] == wa[:, None, :]) |
+           (wb[:, :, None] == wb[:, None, :])) & either & tri
+    bad = jnp.any(hit, axis=(1, 2))
+    # pack to one bit per group (padded so the words reshape evenly);
+    # passed as a FULL-array SMEM block, which always matches XLA tiling
+    padg = (-bad.shape[0]) % 32
+    if padg:
+        bad = jnp.concatenate([bad, jnp.zeros((padg,), bool)])
+    return (bad.reshape(-1, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                axis=1, dtype=jnp.uint32)
+
+
 def _pick_tile_words(wa: int, wb: int) -> int:
     budget_words = _VMEM_BUDGET // 4 - wb  # aliased in/out: count once
     if wa <= budget_words:
@@ -262,13 +397,15 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
                                              "sparse", "tile_override",
-                                             "group", "interpret"))
+                                             "group", "two_phase",
+                                             "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
                          n_hash_b: int = None, live: jnp.ndarray = None,
                          sparse: bool = False, tile_override: int = None,
-                         group: int = None, interpret: bool = False):
+                         group: int = None, two_phase: bool = True,
+                         interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
     updated (a_words, b_words, new_b) where new_b[i] marks keys whose B
@@ -333,10 +470,39 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         )(words32, block_a, block_b, h1r, h2, nb0,
           a_words.reshape(wa // _LANES, _LANES),
           b_words.reshape(wb // _LANES, _LANES))
+        # dead lanes are never written by the kernel: mask them here
+        # instead of relying on aliased-buffer zero-init (ADVICE r1)
         return (a_out.reshape(wa), b_out.reshape(wb),
-                (new_b[:n] if pad else new_b) > 0)
+                ((new_b[:n] if pad else new_b) > 0) & live)
 
     nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
+    if n_tiles == 1 and two_phase:
+        # two-phase group kernel: loads pipelined across the group,
+        # store->load stall paid once per group; same-window groups
+        # (flagged by the XLA precompute) replay sequentially
+        G = group or 8
+        assert chunk % G == 0, (chunk, G)
+        gb = _group_bad(block_a, block_b, G)
+        spec_g = pl.BlockSpec((gb.shape[0],), lambda t, c: (0,),
+                              memory_space=pltpu.SMEM)
+        a_out, b_out, new_b = pl.pallas_call(
+            functools.partial(_kernel_v2, tile_words=tile_words,
+                              n_hash_a=n_hash_a, n_hash_b=n_hash_b, G=G),
+            grid=(1, n_chunks),
+            in_specs=[spec_g, spec_s, spec_s, spec_s, spec_s, spec_s,
+                      spec_a, spec_b],
+            out_specs=(spec_a, spec_b, spec_s),
+            out_shape=(
+                jax.ShapeDtypeStruct((wa // _LANES, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((wb // _LANES, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((block_a.shape[0],), jnp.uint32)),
+            input_output_aliases={5: 2, 6: 0, 7: 1},
+            interpret=interpret,
+        )(gb, block_a, block_b, h1r, h2, nb0,
+          a_words.reshape(wa // _LANES, _LANES),
+          b_words.reshape(wb // _LANES, _LANES))
+        return (a_out.reshape(wa), b_out.reshape(wb),
+                (new_b[:n] if pad else new_b) > 0)
     a_out, b_out, new_b = pl.pallas_call(
         functools.partial(_kernel, tile_words=tile_words,
                           n_hash_a=n_hash_a, n_hash_b=n_hash_b,

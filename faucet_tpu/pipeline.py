@@ -111,7 +111,9 @@ class Pipeline:
 
     def load_batch(self, bases, lens):
         if self.node_cascade is not None:
-            self.cascade, self.node_cascade = self._load_nodes(
+            # n_new (first promotions) stays on device: fetching a
+            # scalar per batch would sync the axon tunnel (~25 ms)
+            self.cascade, self.node_cascade, _n_new = self._load_nodes(
                 self.cascade, self.node_cascade, jnp.asarray(bases),
                 jnp.asarray(lens), cfg=self.cfg)
         else:
