@@ -147,7 +147,7 @@ def main():
           f"G=16 {float(fetch(r16)):.3f}", flush=True)
 
     # ---- timing: cascade variants ----------------------------------------
-    def cas_step(two_phase, G=None):
+    def cas_step(two_phase, G=None, cond=False):
         def step(s):
             aw, bw, kh = s
             ba, h1r, h2 = BL._block_h1r_h2(kh, klo, la)
@@ -155,14 +155,16 @@ def main():
             ba = jnp.where(mask, ba, SENTINEL)
             aw2, bw2, _nb = cascade_insert_fused(
                 aw, bw, ba, bb, h1r, h2, nha, nhb,
-                two_phase=two_phase, group=G)
+                two_phase=two_phase, group=G, cond_store=cond)
             return (aw2, bw2, mut(kh))
         return step
 
     init = (c0.a_bloom.words, c0.b_bloom.words, khi)
-    timeit_dev(cas_step(False), init, "cascade seq G=4 (old), 573k")
-    t8 = timeit_dev(cas_step(True, 8), init, "cascade v2 G=8, 573k")
-    timeit_dev(cas_step(True, 16), init, "cascade v2 G=16, 573k")
+    timeit_dev(cas_step(True, 8), init, "cascade v2 G=8, 573k")
+    timeit_dev(cas_step(True, 8, True), init,
+               "cascade v2 G=8 cond-store, 573k")
+    timeit_dev(cas_step(True, 16, True), init,
+               "cascade v2 G=16 cond-store, 573k")
 
     # steady state: every key already solid
     @jax.jit
@@ -184,10 +186,45 @@ def main():
         bb, _, _ = BL._block_h1r_h2(khi, klo, lb)
         ba = jnp.where(mask, ba, SENTINEL)
         aw2, bw2, _nb = cascade_insert_fused(aw, bw, ba, bb, h1r, h2,
-                                             nha, nhb, two_phase=True)
+                                             nha, nhb, two_phase=True,
+                                             cond_store=True)
         return (aw2, bw2, mut(kh))
     timeit_dev(steady_step, (aw_s, bw_s, khi),
-               "cascade v2 G=8, 573k, steady state (all in B)")
+               "cascade v2 G=8 cond-store, 573k, steady (all in B)")
+
+    # cond-store == plain-store on device (semantic no-op check)
+    @jax.jit
+    def run_cond_eq(c):
+        ba, h1r, h2 = BL._block_h1r_h2(khi, klo, la)
+        bb, _, _ = BL._block_h1r_h2(khi, klo, lb)
+        ba = jnp.where(mask, ba, SENTINEL)
+        a1, b1, n1 = cascade_insert_fused(c.a_bloom.words, c.b_bloom.words,
+                                          ba, bb, h1r, h2, nha, nhb,
+                                          two_phase=True, cond_store=False)
+        a2, b2, n2 = cascade_insert_fused(c.a_bloom.words, c.b_bloom.words,
+                                          ba, bb, h1r, h2, nha, nhb,
+                                          two_phase=True, cond_store=True)
+        return (jnp.array_equal(a1, a2), jnp.array_equal(b1, b2),
+                jnp.array_equal(n1, n2))
+
+    ea, eb, en = run_cond_eq(c0)
+    print(f"cond-store == plain on device: A={bool(fetch(ea))} "
+          f"B={bool(fetch(eb))} new_b={bool(fetch(en))}", flush=True)
+
+    # ---- sparse kernel timing at node-insert densities ---------------------
+    for dens in (0.20, 0.03):
+        lv = jnp.asarray(rng.random(N) < dens)
+
+        def sp_step(s, lv=lv):
+            aw, bw, kh = s
+            ba, h1r, h2 = BL._block_h1r_h2(kh, klo, la)
+            bb, _, _ = BL._block_h1r_h2(kh, klo, lb)
+            ba = jnp.where(lv, ba, SENTINEL)
+            aw2, bw2, _nb = cascade_insert_fused(
+                aw, bw, ba, bb, h1r, h2, nha, nhb, live=lv, sparse=True)
+            return (aw2, bw2, mut(kh))
+        timeit_dev(sp_step, init, f"cascade sparse {int(dens*100)}% live,"
+                                  f" 573k lanes")
 
     # ---- probe reference point -------------------------------------------
     def probe_step(s):

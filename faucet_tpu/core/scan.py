@@ -95,43 +95,52 @@ def _row_runs(solid, is_junc):
 
 
 class ScanUpdates(NamedTuple):
-    """Compacted per-window update batches produced by scan_core; the
-    local pipeline upserts them into local tables, the sharded pipeline
-    routes them to owner shards first.
-
-    Junction/sink updates are sparse (branch points + read ends), so the
-    [B*P] grid is compacted to cfg.scan_update_cap lanes — XLA scatter
-    cost scales with update-lane count, and routing buffers shrink by the
-    same factor. Overflow is counted, never silent."""
-    jhi: jnp.ndarray        # [K] junction update keys
-    jlo: jnp.ndarray
-    junc_mask: jnp.ndarray  # [K]
-    cov8: jnp.ndarray       # [K, 8]
-    dist8: jnp.ndarray      # [K, 8] uint16
-    jwords: jnp.ndarray     # [K, 4] wide canon words (or [K, 0] narrow)
-    shi: jnp.ndarray        # [K] sink update keys
-    slo: jnp.ndarray
-    sink_mask: jnp.ndarray
-    sink_cov: jnp.ndarray   # [K]
-    swords: jnp.ndarray     # [K, 4] or [K, 0]
-    upd_dropped: jnp.ndarray  # [] lanes lost to the compaction cap
-    jm: jnp.ndarray         # [B, P]
-    canon_hi: jnp.ndarray   # [B, P]
+    """Dense per-window update grids produced by scan_core; consumers
+    compact the sparse live lanes (branch points + read ends) into
+    cfg.scan_update_cap-lane rounds via upsert_rounds — XLA scatter and
+    routing-buffer cost scale with the lane cap, and NOTHING is dropped:
+    a junction-saturated batch just takes more rounds (VERDICT r1 #3)."""
+    is_junc: jnp.ndarray    # [B, P] junction-window mask
+    cov8: jnp.ndarray       # [B, P, 8]
+    dist8: jnp.ndarray      # [B, P, 8] uint16
+    sink_pos: jnp.ndarray   # [B, P] sink-anchor mask
+    sink_cov: jnp.ndarray   # [B, P]
+    key_hi: jnp.ndarray     # [B, P] table keys
+    key_lo: jnp.ndarray
+    words: jnp.ndarray      # [B, P, 4] wide canon words ([B, P, 0] narrow)
+    jm: jnp.ndarray         # alias of is_junc (consumed by pairs)
+    canon_hi: jnp.ndarray   # [B, P] (consumed by pairs)
     canon_lo: jnp.ndarray
     n_solid: jnp.ndarray
     n_junc_pos: jnp.ndarray
 
 
-def _compact(mask, K: int, payloads):
-    """Gather the True lanes of a sparse update grid into K lanes.
+def upsert_rounds(mask, K: int, payloads, fn, state, sync=None):
+    """Fold every True lane of a sparse update grid into `state`, K
+    compacted lanes per round: state = fn(state, round_mask[K],
+    round_payloads) for ceil(live/K) rounds. Stable argsort keeps
+    original lane order (deterministic). `sync` maps the round count
+    (e.g. lax.pmax over the mesh axis so every shard issues the same
+    collectives). Lossless by construction."""
+    n = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True).astype(I32)
+    total = jnp.sum(mask, dtype=I32)
+    rounds = (total + (K - 1)) // K
+    if sync is not None:
+        rounds = sync(rounds)
+    padn = (-n) % K
+    # pad so no round's dynamic slice clamps back into a previous
+    # round's lanes (index n reads mask False, payload rows clamp+mask)
+    if padn:
+        order = jnp.concatenate([order, jnp.full((padn,), n, I32)])
+    maskp = jnp.concatenate([mask, jnp.zeros((1,), bool)])
 
-    Returns (mask[K], gathered payloads, dropped count). Stable argsort
-    puts True lanes first in original order (deterministic)."""
-    order = jnp.argsort(~mask, stable=True)
-    take = order[:K]
-    cmask = mask[take]
-    dropped = jnp.sum(mask, dtype=I32) - jnp.sum(cmask, dtype=I32)
-    return cmask, tuple(p[take] for p in payloads), dropped
+    def body(r, st):
+        take = jax.lax.dynamic_slice(order, (r * K,), (K,))
+        cm = maskp[jnp.minimum(take, n)]
+        return fn(st, cm, tuple(p[take] for p in payloads))
+
+    return jax.lax.fori_loop(0, rounds, body, state), total
 
 
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
@@ -147,18 +156,33 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                                                        klo, m, ncfg)
     u = scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn)
     wide = cfg.size_kmer > 31
-    junctions = T.upsert(
-        junctions, u.jhi, u.jlo,
-        (u.cov8, u.dist8) + ((u.jwords,) if wide else ()),
-        u.junc_mask,
-        modes=("add", "max") + (("max",) if wide else ()),
-        shard_bits=cfg.shard_bits)
-    sinks = T.upsert(
-        sinks, u.shi, u.slo,
-        (u.sink_cov,) + ((u.swords,) if wide else ()),
-        u.sink_mask, modes=("add",) + (("max",) if wide else ()),
-        shard_bits=cfg.shard_bits)
-    sinks = sinks._replace(dropped=sinks.dropped + u.upd_dropped)
+    B, P = u.is_junc.shape
+    flat = lambda a: a.reshape((B * P,) + a.shape[2:])
+    K = min(B * P, cfg.scan_update_cap)
+
+    def jfn(tbl, cm, ps):
+        jhi, jlo, cov8, dist8, words = ps
+        return T.upsert(tbl, jhi, jlo,
+                        (cov8, dist8) + ((words,) if wide else ()), cm,
+                        modes=("add", "max") + (("max",) if wide else ()),
+                        shard_bits=cfg.shard_bits)
+
+    junctions, _ = upsert_rounds(
+        flat(u.is_junc), K,
+        (flat(u.key_hi), flat(u.key_lo), flat(u.cov8), flat(u.dist8),
+         flat(u.words)), jfn, junctions)
+
+    def sfn(tbl, cm, ps):
+        shi, slo, scov, words = ps
+        return T.upsert(tbl, shi, slo,
+                        (scov,) + ((words,) if wide else ()), cm,
+                        modes=("add",) + (("max",) if wide else ()),
+                        shard_bits=cfg.shard_bits)
+
+    sinks, _ = upsert_rounds(
+        flat(u.sink_pos), K,
+        (flat(u.key_hi), flat(u.key_lo), flat(u.sink_cov),
+         flat(u.words)), sfn, sinks)
     return ScanResult(
         junctions=junctions, sinks=sinks, n_solid=u.n_solid,
         n_junc_pos=u.n_junc_pos, jm=u.jm, canon_hi=u.canon_hi,
@@ -274,21 +298,12 @@ def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
     sink_pos = solid & (tot == 0) & (start_m | end_m)
     sink_cov = (start_m.astype(I32) + end_m.astype(I32))
 
-    flat = lambda a: a.reshape((B * P,) + a.shape[2:])
-    K = min(B * P, cfg.scan_update_cap)
-    wflat = (flat(words) if words is not None
-             else jnp.zeros((B * P, 0), jnp.uint32))
-    jmask, (jhi, jlo, ccov8, cdist8, jwords), jdrop = _compact(
-        flat(is_junc), K,
-        (flat(key_hi), flat(key_lo), flat(cov8), flat(dist8), wflat))
-    smask, (shi, slo, scov, swords), sdrop = _compact(
-        flat(sink_pos), K,
-        (flat(key_hi), flat(key_lo), flat(sink_cov), wflat))
+    wgrid = (words if words is not None
+             else jnp.zeros((B, P, 0), jnp.uint32))
     return ScanUpdates(
-        jhi=jhi, jlo=jlo, junc_mask=jmask, cov8=ccov8, dist8=cdist8,
-        jwords=jwords,
-        shi=shi, slo=slo, sink_mask=smask, sink_cov=scov, swords=swords,
-        upd_dropped=jdrop + sdrop,
+        is_junc=is_junc, cov8=cov8, dist8=dist8,
+        sink_pos=sink_pos, sink_cov=sink_cov,
+        key_hi=key_hi, key_lo=key_lo, words=wgrid,
         jm=is_junc, canon_hi=key_hi, canon_lo=key_lo,
         n_solid=jnp.sum(solid, dtype=I32),
         n_junc_pos=jnp.sum(is_junc, dtype=I32))

@@ -80,11 +80,12 @@ def _load_local(cascade: BL.Cascade, bases, lens, *, cfg_local, n_shards,
         mask = wv.valid.reshape(-1)
     owner = _owner(khi, klo, shard_bits)
     cap = _cap_for(khi.shape[0], n_shards)
-    recv, rmask, info = R.route({"hi": khi, "lo": klo}, owner, mask,
-                                n_shards, cap)
-    cascade = BL.cascade_insert(cascade, recv["hi"], recv["lo"], rmask,
-                                cfg_local)
-    return cascade, info.dropped.reshape(1)
+    cascade, unsent = R.route_consume(
+        {"hi": khi, "lo": klo}, owner, mask, n_shards, cap,
+        lambda c, recv, rmask: BL.cascade_insert(
+            c, recv["hi"], recv["lo"], rmask, cfg_local),
+        cascade)
+    return cascade, unsent.reshape(1)
 
 
 def _load_local_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
@@ -107,25 +108,33 @@ def _load_local_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
         view.canon_hi, view.canon_lo, other_hi, other_lo, k)
     owner = _owner(khi, klo, shard_bits)
     cap = _cap_for(khi.shape[0], n_shards)
-    recv, rmask, info = R.route(
+    ncfg = cfg_local.node_view()
+
+    def consume(state, recv, rmask):
+        cascade, node_cascade, unsent_inner = state
+        cascade, new_b = BL.cascade_insert_nb(
+            cascade, recv["hi"], recv["lo"], rmask, cfg_local)
+        # promoted endpoint keys route onward to THEIR owners (nested
+        # lossless round loop; inner trip count is pmax'd too)
+        nhi = jnp.concatenate([recv["pk_hi"], recv["sk_hi"]])
+        nlo = jnp.concatenate([recv["pk_lo"], recv["sk_lo"]])
+        nmask = jnp.concatenate([new_b & rmask, new_b & rmask])
+        nowner = _owner(nhi, nlo, shard_bits)
+        ncap = _cap_for(nhi.shape[0], n_shards)
+        node_cascade, un = R.route_consume(
+            {"hi": nhi, "lo": nlo}, nowner, nmask, n_shards, ncap,
+            lambda nc, nrecv, nrmask: BL.cascade_insert(
+                nc, nrecv["hi"], nrecv["lo"], nrmask, ncfg, sparse=True),
+            node_cascade)
+        return cascade, node_cascade, unsent_inner + un
+
+    (cascade, node_cascade, un_inner), unsent = R.route_consume(
         {"hi": khi, "lo": klo,
          "pk_hi": pk_hi.reshape(-1), "pk_lo": pk_lo.reshape(-1),
          "sk_hi": sk_hi.reshape(-1), "sk_lo": sk_lo.reshape(-1)},
-        owner, mask, n_shards, cap)
-    cascade, new_b = BL.cascade_insert_nb(cascade, recv["hi"], recv["lo"],
-                                          rmask, cfg_local)
-    nhi = jnp.concatenate([recv["pk_hi"], recv["sk_hi"]])
-    nlo = jnp.concatenate([recv["pk_lo"], recv["sk_lo"]])
-    nmask = jnp.concatenate([new_b & rmask, new_b & rmask])
-    nowner = _owner(nhi, nlo, shard_bits)
-    ncap = _cap_for(nhi.shape[0], n_shards)
-    nrecv, nrmask, ninfo = R.route({"hi": nhi, "lo": nlo}, nowner, nmask,
-                                   n_shards, ncap)
-    node_cascade = BL.cascade_insert(node_cascade, nrecv["hi"],
-                                     nrecv["lo"], nrmask,
-                                     cfg_local.node_view(), sparse=True)
-    return (cascade, node_cascade,
-            (info.dropped + ninfo.dropped).reshape(1))
+        owner, mask, n_shards, cap, consume,
+        (cascade, node_cascade, jnp.zeros((), I32)))
+    return cascade, node_cascade, (unsent + un_inner).reshape(1)
 
 
 def _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits, drops):
@@ -136,12 +145,11 @@ def _routed_solid_fn(cascade, cfg_local, n_shards, shard_bits, drops):
         fm = jnp.asarray(mask).reshape(-1)
         owner = _owner(fhi, flo, shard_bits)
         cap = _cap_for(fhi.shape[0], n_shards)
-        recv, rmask, info = R.route({"hi": fhi, "lo": flo}, owner, fm,
-                                    n_shards, cap)
-        ans = BL.cascade_solid(cascade, recv["hi"], recv["lo"], rmask,
-                               cfg_local)
-        got = R.route_back(ans.astype(jnp.int8), info, n_shards, cap)
-        drops.append(info.dropped)
+        got, unsent = R.route_query(
+            {"hi": fhi, "lo": flo}, owner, fm, n_shards, cap,
+            lambda recv, rmask: BL.cascade_solid(
+                cascade, recv["hi"], recv["lo"], rmask, cfg_local))
+        drops.append(unsent)
         return (got > 0).reshape(shape)
 
     return solid_fn
@@ -157,12 +165,11 @@ def _routed_node_fn(node_cascade, cfg_local, n_shards, shard_bits, drops):
         fm = jnp.asarray(mask).reshape(-1)
         owner = _owner(fhi, flo, shard_bits)
         cap = _cap_for(fhi.shape[0], n_shards)
-        recv, rmask, info = R.route({"hi": fhi, "lo": flo}, owner, fm,
-                                    n_shards, cap)
-        ans = BL.cascade_solid(node_cascade, recv["hi"], recv["lo"],
-                               rmask, ncfg)
-        got = R.route_back(ans.astype(jnp.int8), info, n_shards, cap)
-        drops.append(info.dropped)
+        got, unsent = R.route_query(
+            {"hi": fhi, "lo": flo}, owner, fm, n_shards, cap,
+            lambda recv, rmask: BL.cascade_solid(
+                node_cascade, recv["hi"], recv["lo"], rmask, ncfg))
+        drops.append(unsent)
         return (got > 0).reshape(shape)
 
     return node_fn
@@ -180,33 +187,58 @@ def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                                   shard_bits, drops)
     u = SC.scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn)
 
-    # compacted update lanes can be dense in the worst case: full-size
-    # per-peer buckets, so routing never drops what compaction kept
-    capj = u.jhi.shape[0]
+    # junction/sink updates: compaction rounds (lossless, like the local
+    # path) with per-round owner routing at full-size per-peer buckets,
+    # so routing can never drop what a round carries; the round count is
+    # pmax'd over the mesh so every shard issues the same collectives
+    B, P = u.is_junc.shape
+    flat = lambda a: a.reshape((B * P,) + a.shape[2:])
+    K = min(B * P, cfg.scan_update_cap)
     wide = cfg.size_kmer > 31
-    jp = {"hi": u.jhi, "lo": u.jlo, "cov8": u.cov8, "dist8": u.dist8}
-    if wide:
-        jp["words"] = u.jwords
-    recv, rmask, info = R.route(
-        jp, _owner(u.jhi, u.jlo, shard_bits), u.junc_mask, n_shards, capj)
-    junctions = T.upsert(
-        junctions, recv["hi"], recv["lo"],
-        (recv["cov8"], recv["dist8"]) + ((recv["words"],) if wide else ()),
-        rmask, modes=("add", "max") + (("max",) if wide else ()))
-    drops.append(info.dropped)
+    sync = lambda r: jax.lax.pmax(r, AXIS)
 
-    sp = {"hi": u.shi, "lo": u.slo, "cov": u.sink_cov}
-    if wide:
-        sp["words"] = u.swords
-    recv, rmask, info = R.route(
-        sp, _owner(u.shi, u.slo, shard_bits), u.sink_mask, n_shards, capj)
-    sinks = T.upsert(
-        sinks, recv["hi"], recv["lo"],
-        (recv["cov"],) + ((recv["words"],) if wide else ()),
-        rmask, modes=("add",) + (("max",) if wide else ()))
-    drops.append(info.dropped)
+    def jfn(st, cm, ps):
+        tbl, dr = st
+        jhi, jlo, cov8, dist8, words = ps
+        jp = {"hi": jhi, "lo": jlo, "cov8": cov8, "dist8": dist8}
+        if wide:
+            jp["words"] = words
+        tbl, un = R.route_consume(
+            jp, _owner(jhi, jlo, shard_bits), cm, n_shards, K,
+            lambda t, recv, rmask: T.upsert(
+                t, recv["hi"], recv["lo"],
+                (recv["cov8"], recv["dist8"])
+                + ((recv["words"],) if wide else ()), rmask,
+                modes=("add", "max") + (("max",) if wide else ())),
+            tbl)
+        return tbl, dr + un
 
-    total_drops = (sum(drops) + u.upd_dropped).reshape(1)
+    (junctions, jdrop), _ = SC.upsert_rounds(
+        flat(u.is_junc), K,
+        (flat(u.key_hi), flat(u.key_lo), flat(u.cov8), flat(u.dist8),
+         flat(u.words)), jfn, (junctions, jnp.zeros((), I32)), sync=sync)
+
+    def sfn(st, cm, ps):
+        tbl, dr = st
+        shi, slo, scov, words = ps
+        sp = {"hi": shi, "lo": slo, "cov": scov}
+        if wide:
+            sp["words"] = words
+        tbl, un = R.route_consume(
+            sp, _owner(shi, slo, shard_bits), cm, n_shards, K,
+            lambda t, recv, rmask: T.upsert(
+                t, recv["hi"], recv["lo"],
+                (recv["cov"],) + ((recv["words"],) if wide else ()),
+                rmask, modes=("add",) + (("max",) if wide else ())),
+            tbl)
+        return tbl, dr + un
+
+    (sinks, sdrop), _ = SC.upsert_rounds(
+        flat(u.sink_pos), K,
+        (flat(u.key_hi), flat(u.key_lo), flat(u.sink_cov),
+         flat(u.words)), sfn, (sinks, jnp.zeros((), I32)), sync=sync)
+
+    total_drops = (sum(drops) + jdrop + sdrop).reshape(1)
     return (junctions, sinks, u.n_solid.reshape(1),
             u.n_junc_pos.reshape(1), u.jm, u.canon_hi, u.canon_lo,
             total_drops)

@@ -145,7 +145,8 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
 
 def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
                b_in, a_out, b_out, nb_out, *, tile_words: int,
-               n_hash_a: int, n_hash_b: int, G: int):
+               n_hash_a: int, n_hash_b: int, G: int,
+               cond_store: bool = False):
     """Two-phase group cascade: per group of G keys, ALL window loads
     issue first (they pipeline like the read-only probe kernel,
     ~15 ns/key), then all stores. The store->load serialization that
@@ -201,21 +202,37 @@ def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
         mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
         return ok, r8a, r8b, mask_a, mask_b
 
+    def finish(i, ok, r8a, r8b, mask_a, mask_b, cur_a, cur_b):
+        in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+        was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+        add_a = ok & jnp.logical_not(in_a)
+        new_b = in_a & jnp.logical_not(was_b)
+        if cond_store:
+            # a store is needed ONLY when it sets a new bit: exactly
+            # add_a for A (not-all-set => some bit new) and new_b for B.
+            # Steady-state batches (all keys already solid) then issue
+            # zero stores.
+            @pl.when(add_a)
+            def _():
+                a_out[pl.ds(r8a, 8), :] = cur_a | mask_a
+
+            @pl.when(new_b)
+            def _():
+                b_out[pl.ds(r8b, 8), :] = cur_b | mask_b
+        else:
+            a_out[pl.ds(r8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
+                                                        zero)
+            b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
+                                                        zero)
+        nb_out[i] = new_b.astype(jnp.uint32)
+
     def seq_group(i0, _):
         # exact sequential fallback (fresh load per key)
         for g in range(G):
             i = i0 + g
             ok, r8a, r8b, mask_a, mask_b = key_state(i)
-            cur_a = a_out[pl.ds(r8a, 8), :]
-            in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
-            cur_b = b_out[pl.ds(r8b, 8), :]
-            was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
-            add_a = ok & jnp.logical_not(in_a)
-            a_out[pl.ds(r8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
-                                                        zero)
-            b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
-                                                        zero)
-            nb_out[i] = (in_a & jnp.logical_not(was_b)).astype(jnp.uint32)
+            finish(i, ok, r8a, r8b, mask_a, mask_b,
+                   a_out[pl.ds(r8a, 8), :], b_out[pl.ds(r8b, 8), :])
         return 0
 
     def fast_group(i0, _):
@@ -224,15 +241,8 @@ def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
         cur_b = [b_out[pl.ds(s[2], 8), :] for s in st]
         for g in range(G):
             ok, r8a, r8b, mask_a, mask_b = st[g]
-            in_a = ok & (jnp.sum((cur_a[g] & mask_a) != mask_a) == 0)
-            was_b = jnp.sum((cur_b[g] & mask_b) != mask_b) == 0
-            add_a = ok & jnp.logical_not(in_a)
-            a_out[pl.ds(r8a, 8), :] = cur_a[g] | jnp.where(add_a, mask_a,
-                                                           zero)
-            b_out[pl.ds(r8b, 8), :] = cur_b[g] | jnp.where(in_a, mask_b,
-                                                           zero)
-            nb_out[i0 + g] = (in_a & jnp.logical_not(was_b)).astype(
-                jnp.uint32)
+            finish(i0 + g, ok, r8a, r8b, mask_a, mask_b, cur_a[g],
+                   cur_b[g])
         return 0
 
     # gb_ref: FULL bad-group bitmask (one bit per group, packed uint32;
@@ -256,7 +266,7 @@ def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
 def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
                    a_in, b_in, a_out, b_out, nb_out,
                    c_ba, c_bb, c_h1r, c_h2, c_idx, *, tile_words: int,
-                   n_hash_a: int, n_hash_b: int):
+                   n_hash_a: int, n_hash_b: int, cond_store: bool = False):
     """Sparse-mask variant: per chunk, live lanes are first COMPACTED
     into SMEM scratch with the branch-free running-cursor trick
     (unconditional `scratch[cnt] = v; cnt += live_bit` — dead lanes
@@ -325,37 +335,88 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
     cnt = jax.lax.fori_loop(0, n // 32, compact_word,
                             jnp.zeros((), jnp.int32))
 
-    # ---- phase 2: cascade over exactly cnt compacted lanes --------------
-    def body(i, _):
-        blk_a = c_ba[i]
-        rel_a = blk_a - base
-        ok = (blk_a != SENTINEL) & (rel_a < tile_blocks)
-        rel_c = jnp.where(ok, rel_a, np.uint32(0))
-        h1r = c_h1r[i]
-        h2 = c_h2[i]
-        row8a, sub_a, lane0a = _window(rel_c)
-        mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
-        cur_a = a_out[pl.ds(row8a, 8), :]
-        in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+    # ---- phase 2: two-phase groups over the cnt compacted lanes ---------
+    # Same structure as _kernel_v2 (loads pipelined across the group, one
+    # store->load stall per group), but the group-bad check runs IN-KERNEL
+    # on scalars: compaction order is data-dependent, so no XLA precompute
+    # can see which keys land in a group. Lanes at/past cnt hold stale
+    # scratch garbage and are neutralized via `valid`.
+    G = 8
+    zero = np.uint32(0)
 
-        row8b, sub_b, lane0b = _window(c_bb[i])
-        mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
-        cur_b = b_out[pl.ds(row8b, 8), :]
-        was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+    def group(grp, _):
+        i0 = grp * G
+        meta = []
+        for g in range(G):
+            i = i0 + g
+            valid = i < cnt
+            blk_a = jnp.where(valid, c_ba[i], SENTINEL)
+            blk_b = jnp.where(valid, c_bb[i], zero)
+            rel = blk_a - base
+            ok = valid & (blk_a != SENTINEL) & (rel < tile_blocks)
+            rel_c = jnp.where(ok, rel, zero)
+            h1r = c_h1r[i]
+            h2 = c_h2[i]
+            idx = jnp.where(valid, c_idx[i], zero)
+            meta.append((ok, rel_c, blk_b, h1r, h2, idx))
+        wa = [jnp.where(m[0], m[1] >> np.uint32(6), zero) for m in meta]
+        wb = [m[2] >> np.uint32(6) for m in meta]
+        bad = meta[0][0] & False
+        for gj in range(G):
+            for gi in range(gj):
+                clash = (wa[gi] == wa[gj]) | (wb[gi] == wb[gj])
+                bad = bad | (clash & (meta[gi][0] | meta[gj][0]))
 
-        add_a = ok & jnp.logical_not(in_a)
-        a_out[pl.ds(row8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
-                                                      np.uint32(0))
-        b_out[pl.ds(row8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
-                                                      np.uint32(0))
-        # scatter the flag back to the lane's original position; lanes
-        # outside this A-tile keep the carried value via a re-write
-        old = nb_out[c_idx[i]]
-        nb_out[c_idx[i]] = jnp.where(
-            ok, (in_a & jnp.logical_not(was_b)).astype(jnp.uint32), old)
+        def one(g, cur_a, cur_b):
+            ok, rel_c, blk_b, h1r, h2, idx = meta[g]
+            r8a, sub_a, lane0a = _window(rel_c)
+            r8b, sub_b, lane0b = _window(blk_b)
+            mask_a = mask_at(sub_a, lane0a, h1r, h2, n_hash_a)
+            mask_b = mask_at(sub_b, lane0b, h1r, h2, n_hash_b)
+            in_a = ok & (jnp.sum((cur_a & mask_a) != mask_a) == 0)
+            was_b = jnp.sum((cur_b & mask_b) != mask_b) == 0
+            add_a = ok & jnp.logical_not(in_a)
+            new_b = in_a & jnp.logical_not(was_b)
+            if cond_store:
+                @pl.when(add_a)
+                def _():
+                    a_out[pl.ds(r8a, 8), :] = cur_a | mask_a
+
+                @pl.when(new_b)
+                def _():
+                    b_out[pl.ds(r8b, 8), :] = cur_b | mask_b
+            else:
+                a_out[pl.ds(r8a, 8), :] = cur_a | jnp.where(add_a, mask_a,
+                                                            zero)
+                b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
+                                                            zero)
+            old = nb_out[idx]
+            nb_out[idx] = jnp.where(ok, new_b.astype(jnp.uint32), old)
+
+        def windows(g):
+            ok, rel_c, blk_b = meta[g][0], meta[g][1], meta[g][2]
+            r8a, _, _ = _window(rel_c)
+            r8b, _, _ = _window(blk_b)
+            return r8a, r8b
+
+        def seq_path(_):
+            for g in range(G):
+                r8a, r8b = windows(g)
+                one(g, a_out[pl.ds(r8a, 8), :], b_out[pl.ds(r8b, 8), :])
+            return 0
+
+        def fast_path(_):
+            rows = [windows(g) for g in range(G)]
+            cur_a = [a_out[pl.ds(r8a, 8), :] for r8a, _ in rows]
+            cur_b = [b_out[pl.ds(r8b, 8), :] for _, r8b in rows]
+            for g in range(G):
+                one(g, cur_a[g], cur_b[g])
+            return 0
+
+        jax.lax.cond(bad, seq_path, fast_path, 0)
         return 0
 
-    jax.lax.fori_loop(0, cnt, body, 0)
+    jax.lax.fori_loop(0, (cnt + G - 1) // G, group, 0)
 
 
 def _group_bad(block_a: jnp.ndarray, block_b: jnp.ndarray, G: int
@@ -398,13 +459,14 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
                                              "sparse", "tile_override",
                                              "group", "two_phase",
-                                             "interpret"))
+                                             "cond_store", "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
                          n_hash_b: int = None, live: jnp.ndarray = None,
                          sparse: bool = False, tile_override: int = None,
                          group: int = None, two_phase: bool = True,
+                         cond_store: bool = False,
                          interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
@@ -454,7 +516,8 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
         a_out, b_out, new_b = pl.pallas_call(
             functools.partial(_kernel_sparse, tile_words=tile_words,
-                              n_hash_a=n_hash_a, n_hash_b=n_hash_b),
+                              n_hash_a=n_hash_a, n_hash_b=n_hash_b,
+                              cond_store=cond_store),
             grid=(n_tiles, n_chunks),
             in_specs=[spec_l, spec_s, spec_s, spec_s, spec_s, spec_s,
                       spec_a, spec_b],
@@ -487,7 +550,8 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                               memory_space=pltpu.SMEM)
         a_out, b_out, new_b = pl.pallas_call(
             functools.partial(_kernel_v2, tile_words=tile_words,
-                              n_hash_a=n_hash_a, n_hash_b=n_hash_b, G=G),
+                              n_hash_a=n_hash_a, n_hash_b=n_hash_b, G=G,
+                              cond_store=cond_store),
             grid=(1, n_chunks),
             in_specs=[spec_g, spec_s, spec_s, spec_s, spec_s, spec_s,
                       spec_a, spec_b],
