@@ -122,11 +122,6 @@ def main(argv=None) -> int:
 
     metrics = Metrics(cfg.metrics_file)
     if cfg.n_shards > 1:
-        if cfg.paired_ends:
-            print("error: --paired_ends with --n_shards > 1 is not yet "
-                  "supported (pair capture runs single-shard)",
-                  file=sys.stderr)
-            return 2
         from faucet_tpu.dist.mesh import make_mesh
         from faucet_tpu.dist.sharded import ShardedPipeline
 
@@ -146,14 +141,17 @@ def main(argv=None) -> int:
         pipe.cascade, node_cascade = CK.load_bloom(cfg.bloom_file, cfg)
         if node_cascade is not None:
             pipe.node_cascade = node_cascade
-        pipe.junctions, pipe.sinks = CK.load_junctions(
+        pipe.junctions, pipe.sinks, pairs = CK.load_junctions(
             cfg.junctions_file, cfg)
+        if pairs is not None:
+            pipe.pairs = pairs
         if cfg.n_shards > 1:
             pipe.cascade = pipe.stream.place_state(pipe.cascade)
             if node_cascade is not None:
                 pipe.node_cascade = pipe.stream.place_state(node_cascade)
             pipe.junctions = pipe.stream.place_state(pipe.junctions)
             pipe.sinks = pipe.stream.place_state(pipe.sinks)
+            pipe.pairs = pipe.stream.place_state(pipe.pairs)
         resumed = True
         print(f"[faucet_tpu] resumed from {cfg.bloom_file} + "
               f"{cfg.junctions_file}", file=sys.stderr)
@@ -206,7 +204,8 @@ def main(argv=None) -> int:
         CK.save_bloom(f"{cfg.file_prefix}.bloom.npz", cfg, pipe.cascade,
                       getattr(pipe, "node_cascade", None))
         CK.save_junctions(f"{cfg.file_prefix}.junctions.npz", cfg,
-                          pipe.junctions, pipe.sinks)
+                          pipe.junctions, pipe.sinks,
+                          pipe.pairs if cfg.paired_ends else None)
         g = pipe.build()
         g = pipe.clean_graph(g)
         metrics.add("contigs", len(g.live()))
@@ -226,7 +225,14 @@ def main(argv=None) -> int:
         k2 = args.second_kmer
         cfg2 = _dc.replace(cfg, size_kmer=k2,
                            file_prefix=cfg.file_prefix + f".k{k2}")
-        pipe2 = Pipeline(cfg2, Metrics(cfg.metrics_file))
+        if cfg.n_shards > 1:
+            from faucet_tpu.dist.mesh import make_mesh
+            from faucet_tpu.dist.sharded import ShardedPipeline
+
+            pipe2 = ShardedPipeline(cfg2, make_mesh(cfg.n_shards),
+                                    Metrics(cfg.metrics_file))
+        else:
+            pipe2 = Pipeline(cfg2, Metrics(cfg.metrics_file))
         chunks = contig_chunks(g, cfg.max_read_length, k2)
         print(f"[faucet_tpu] dual-k second pass at k={k2} "
               f"({len(chunks) // 2} contig chunks)", file=sys.stderr)

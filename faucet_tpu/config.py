@@ -65,6 +65,10 @@ class Config:
     walk_round_steps: int = 256            # frontier steps per walk round
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
     min_contig_cov: float = 2.5            # clean: drop contigs below this cov
+    prune_slot_cov: int = 0                # device pre-clean: zero junction
+    #   slots below this cov BEFORE walking (shard-local pass over the
+    #   hash-range-owned table; the distributed analog of low-cov contig
+    #   deletion for metagenome-scale graphs — BASELINE config 5). 0 = off.
     #   (default sits above the cov==2 islands that doubled sequencing
     #    errors create, below any real path at >=3x depth)
     profile: bool = False                  # emit jax.profiler trace

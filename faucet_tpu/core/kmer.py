@@ -95,6 +95,32 @@ def revcomp_code_np(v: np.ndarray, k: int) -> np.ndarray:
     return v >> np.uint64(64 - 2 * k)
 
 
+def encode_windows_np(seq: str, k: int) -> np.ndarray:
+    """Canonical codes of every k-window of a host string, vectorized
+    (uint64[len(seq)-k+1]). Replaces per-window Python encode/canon in
+    the graph phase (VERDICT r1 #4). Assumes ACGT-only input."""
+    t = _BASE_TO_CODE[np.frombuffer(seq.encode(), np.uint8)]
+    n = len(seq) - k + 1
+    if n <= 0:
+        return np.zeros((0,), np.uint64)
+    v = np.zeros((n,), np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | t[j : j + n].astype(np.uint64)
+    return np.minimum(v, revcomp_code_np(v, k))
+
+
+def decode_kmers_np(v: np.ndarray, k: int):
+    """uint64 packed codes -> list of k-mer strings, vectorized."""
+    v = np.asarray(v, np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return []
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    b = ((v[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
+    flat = _CODE_TO_BASE[b].tobytes().decode()
+    return [flat[i * k : (i + 1) * k] for i in range(n)]
+
+
 def decode_kmer(hi: int, lo: int, k: int) -> str:
     v = (int(hi) << 32) | int(lo)
     out = []

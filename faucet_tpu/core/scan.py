@@ -295,7 +295,11 @@ def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
     dist8 = jnp.maximum(ex_oh * ex_dist[..., None],
                         en_oh * en_dist[..., None]).astype(jnp.uint16)
 
-    sink_pos = solid & (tot == 0) & (start_m | end_m)
+    # EVERY maximal-solid-run end is a sink/cap anchor — including ends
+    # inside junction-containing reads (SURVEY.md §3.2 mid-path caps,
+    # §A.4): caps record how deep real coverage reaches along each path;
+    # pass-1 walks trim Bloom-FP tails back to the deepest cap
+    sink_pos = solid & (start_m | end_m)
     sink_cov = (start_m.astype(I32) + end_m.astype(I32))
 
     wgrid = (words if words is not None

@@ -191,6 +191,97 @@ def wtop_base(fwd, k: int):
 # ---- host helpers ------------------------------------------------------
 
 
+def revcomp_words_np(words: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of 4-word (128-bit container) codes
+    (host numpy). words: uint32[n, 4], big-endian word order, value
+    right-aligned to 2k bits. Replaces the per-row string decode/encode
+    round trip in the graph phase (VERDICT r1 #4)."""
+    w = np.asarray(words, np.uint64)
+    hi = (w[:, 0] << np.uint64(32)) | w[:, 1]
+    lo = (w[:, 2] << np.uint64(32)) | w[:, 3]
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+
+    def rev64(v):
+        v = ((v >> np.uint64(2)) & m2) | ((v & m2) << np.uint64(2))
+        v = ((v >> np.uint64(4)) & m4) | ((v & m4) << np.uint64(4))
+        return v.byteswap()
+
+    rhi, rlo = rev64(~lo), rev64(~hi)  # full-128 2-bit-group reversal
+    s = 128 - 2 * k
+    if 0 < s < 64:
+        s = np.uint64(s)
+        rlo = (rlo >> s) | (rhi << (np.uint64(64) - s))
+        rhi = rhi >> s
+    elif s >= 64:
+        rlo = rhi >> np.uint64(s - 64)
+        rhi = np.zeros_like(rhi)
+    mask2k = (np.uint64(1) << np.uint64(max(2 * k - 64, 0))) - np.uint64(1)
+    rhi = rhi & mask2k
+    out = np.empty_like(np.asarray(words, np.uint32))
+    out[:, 0] = (rhi >> np.uint64(32)).astype(np.uint32)
+    out[:, 1] = (rhi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 2] = (rlo >> np.uint64(32)).astype(np.uint32)
+    out[:, 3] = (rlo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return out
+
+
+def fingerprint_keys_np(words: np.ndarray) -> np.ndarray:
+    """uint32[n, 4] canonical codes -> uint64 fingerprint table keys
+    (bit-identical to the device fingerprint), vectorized."""
+    w = np.asarray(words, np.uint32)
+    hi, lo = fingerprint_np((w[:, 0], w[:, 1], w[:, 2], w[:, 3]))
+    return (np.asarray(hi, np.uint64) << np.uint64(32)) | np.asarray(
+        lo, np.uint64)
+
+
+def encode_windows_wide_np(seq: str, k: int) -> np.ndarray:
+    """Fingerprint keys of every canonical k-window of a host string,
+    vectorized (the wide analog of kmer.encode_windows_np; visited-set
+    keys share the junction/sink tables' key space)."""
+    from faucet_tpu.core.kmer import encode_seq
+
+    t = encode_seq(seq).astype(np.uint64)
+    n = len(seq) - k + 1
+    if n <= 0:
+        return np.zeros((0,), np.uint64)
+    hi = np.zeros((n,), np.uint64)
+    lo = np.zeros((n,), np.uint64)
+    for j in range(k):
+        hi = ((hi << np.uint64(2)) | (lo >> np.uint64(62)))
+        lo = (lo << np.uint64(2)) | t[j : j + n]
+    hi = hi & ((np.uint64(1) << np.uint64(max(2 * k - 64, 0)))
+               - np.uint64(1))
+    fwd = np.stack([(hi >> np.uint64(32)).astype(np.uint32),
+                    (hi & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (lo >> np.uint64(32)).astype(np.uint32),
+                    (lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+                   axis=1)
+    rc = revcomp_words_np(fwd, k)
+    # lexicographic min over the 128-bit values
+    fw = fwd.astype(np.uint64)
+    rw = rc.astype(np.uint64)
+    lt = np.zeros((n,), bool)
+    gt = np.zeros((n,), bool)
+    for c in range(4):
+        lt = lt | (~gt & (fw[:, c] < rw[:, c]))
+        gt = gt | (~lt & (fw[:, c] > rw[:, c]))
+    canon = np.where(lt[:, None] | ~gt[:, None], fwd, rc)
+    return fingerprint_keys_np(canon)
+
+
+def fingerprint_np(words):
+    """Host numpy/int mirror of fingerprint (bit-identical)."""
+    from faucet_tpu.core.hashing import fmix32_np, hash_pair_np
+
+    h1a, h2a = hash_pair_np(words[0], words[1])
+    h1b, h2b = hash_pair_np(words[2], words[3])
+    with np.errstate(over="ignore"):
+        hi = fmix32_np(h1a + np.uint32(3) * h1b) & np.uint32(0x3FFFFFFF)
+        lo = fmix32_np(h2a ^ (h2b * np.uint32(5)))
+    return hi, lo
+
+
 def encode_kmer_wide(s: str):
     v = 0
     from faucet_tpu.core.kmer import encode_seq

@@ -244,6 +244,32 @@ def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
             total_drops)
 
 
+def _pairs_local(pairs: T.Table, jm1, chi1, clo1, jm2, chi2, clo2, *,
+                 n_shards, shard_bits):
+    """Paired-end junction pair capture, sharded (SURVEY.md §3.4;
+    VERDICT r1 #5): each shard's mate rows contribute cross-product pair
+    keys, routed LOSSLESSLY to the pair-hash owner shard and counted in
+    its local pair-table slice."""
+    from faucet_tpu.core.hashing import pair_key
+
+    ahi, alo, av = SC._row_junctions(jm1, chi1, clo1)
+    bhi, blo, bv = SC._row_junctions(jm2, chi2, clo2)
+    khi, klo = pair_key(ahi[:, :, None], alo[:, :, None],
+                        bhi[:, None, :], blo[:, None, :])
+    mask = (av[:, :, None] & bv[:, None, :]).reshape(-1)
+    khi = khi.reshape(-1)
+    klo = klo.reshape(-1)
+    owner = _owner(khi, klo, shard_bits)
+    cap = _cap_for(khi.shape[0], n_shards)
+    pairs, unsent = R.route_consume(
+        {"hi": khi, "lo": klo}, owner, mask, n_shards, cap,
+        lambda t, recv, rmask: T.upsert(
+            t, recv["hi"], recv["lo"],
+            (jnp.ones(rmask.shape, I32),), rmask, modes=("add",)),
+        pairs)
+    return pairs, unsent.reshape(1)
+
+
 class ShardedStream:
     """Jitted shard_map wrappers around the stream phases."""
 
@@ -293,6 +319,16 @@ class ShardedStream:
                 out_specs=(state_spec, state_spec, rep, rep, rows, rows,
                            rows, rep),
                 check_vma=False))
+
+        self._pairs = jax.jit(shard_map(
+            partial(_pairs_local, n_shards=S, shard_bits=sb),
+            mesh=mesh,
+            in_specs=(state_spec, rows, rows, rows, rows, rows, rows),
+            out_specs=(state_spec, rep),
+            check_vma=False))
+
+    def pairs(self, pairs_tbl, jm1, chi1, clo1, jm2, chi2, clo2):
+        return self._pairs(pairs_tbl, jm1, chi1, clo1, jm2, chi2, clo2)
 
     def place_state(self, tree):
         """Shard a state pytree's leading axes over the mesh."""
@@ -362,6 +398,8 @@ class ShardedPipeline:
                    (((8,), jnp.int32), ((8,), jnp.uint16)) + wspec), S))
         self.sinks = self.stream.place_state(vec_counters(
             T.make(cfg.sink_cap, (((), jnp.int32),) + wspec), S))
+        self.pairs = self.stream.place_state(vec_counters(
+            T.make(cfg.pair_cap, (((), jnp.int32),)), S))
 
     # ---- stream phases --------------------------------------------------
     def load_reads(self, reads):
@@ -395,9 +433,33 @@ class ShardedPipeline:
 
         m = self.metrics
         m.start("stream")
-        for bases, lens in batch_iter(reads, self.feed_cfg):
-            self.load_batch(bases, lens)
-            self.scan_batch(bases, lens)
+        if self.cfg.paired_ends:
+            from faucet_tpu.core.kmer import pack_reads
+            from faucet_tpu.io.fastq import deinterleave
+
+            cfgf = self.feed_cfg
+            m1, m2 = [], []
+
+            def flush(m1, m2):
+                pad = cfgf.batch_reads - len(m1)
+                b1, l1 = pack_reads(m1 + [""] * pad, cfgf.max_read_length)
+                b2, l2 = pack_reads(m2 + [""] * pad, cfgf.max_read_length)
+                self.load_batch(b1, l1)
+                self.load_batch(b2, l2)
+                self._scan_pair_batch(m1, m2)
+
+            for a, b in deinterleave(iter(reads)):
+                m1.append(a)
+                m2.append(b)
+                if len(m1) == cfgf.batch_reads:
+                    flush(m1, m2)
+                    m1, m2 = [], []
+            if m1:
+                flush(m1, m2)
+        else:
+            for bases, lens in batch_iter(reads, self.feed_cfg):
+                self.load_batch(bases, lens)
+                self.scan_batch(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()
@@ -429,7 +491,7 @@ class ShardedPipeline:
         m.stop("scan")
 
     def scan_batch(self, bases, lens):
-        (self.junctions, self.sinks, n_solid, n_junc, _jm, _chi, _clo,
+        (self.junctions, self.sinks, n_solid, n_junc, jm, chi, clo,
          drops) = self.stream.scan(self.cascade, self.junctions,
                                    self.sinks, jnp.asarray(bases),
                                    jnp.asarray(lens), self.node_cascade)
@@ -437,12 +499,74 @@ class ShardedPipeline:
         self.metrics.add("solid_windows", int(fetch(n_solid).sum()))
         self.metrics.add("junction_hits", int(fetch(n_junc).sum()))
         self.metrics.add("route_dropped", int(fetch(drops).sum()))
+        return jm, chi, clo
+
+    # ---- paired ends (SURVEY.md §3.4; VERDICT r1 #5) ---------------------
+    def scan_paired(self, reads):
+        """Interleaved mate stream: scans + sharded pair capture."""
+        from faucet_tpu.core.kmer import pack_reads
+        from faucet_tpu.io.fastq import deinterleave
+
+        m = self.metrics
+        m.start("scan")
+        cfgf = self.feed_cfg
+        m1, m2 = [], []
+        for a, b in deinterleave(iter(reads)):
+            m1.append(a)
+            m2.append(b)
+            if len(m1) == cfgf.batch_reads:
+                self._scan_pair_batch(m1, m2)
+                m1, m2 = [], []
+        if m1:
+            self._scan_pair_batch(m1, m2)
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def _scan_pair_batch(self, m1, m2):
+        from faucet_tpu.core.kmer import pack_reads
+
+        cfgf = self.feed_cfg
+        pad = cfgf.batch_reads - len(m1)
+        b1, l1 = pack_reads(m1 + [""] * pad, cfgf.max_read_length)
+        b2, l2 = pack_reads(m2 + [""] * pad, cfgf.max_read_length)
+        jm1, chi1, clo1 = self.scan_batch(b1, l1)
+        jm2, chi2, clo2 = self.scan_batch(b2, l2)
+        self.pairs, unsent = self.stream.pairs(
+            self.pairs, jm1, chi1, clo1, jm2, chi2, clo2)
+        self.metrics.add("pair_batches", 1)
+        self.metrics.add("route_dropped", int(fetch(unsent).sum()))
+
+    def pair_counts(self):
+        from faucet_tpu.graph.build import extract_table
+
+        t = extract_table(self.pairs)
+        return {(int(h) << 32) | int(l): int(c)
+                for h, l, c in zip(t["hi"], t["lo"], t["v0"])}
+
+    def _pair_count_fn(self):
+        counts = self.pair_counts()
+        if not counts:
+            return None
+        from faucet_tpu.core.hashing import pair_key_np
+        from faucet_tpu.core.kmer import encode_kmer
+
+        def pc(a, b):
+            ah, al = encode_kmer(a)
+            bh, bl = encode_kmer(b)
+            kh, kl = pair_key_np(np.uint32(ah), np.uint32(al),
+                                 np.uint32(bh), np.uint32(bl))
+            return counts.get((int(kh) << 32) | int(kl), 0)
+
+        return pc
 
     # ---- host phases (global arrays == single-device layout) ------------
     def build(self):
         from faucet_tpu.graph.build import GraphBuilder
 
         m = self.metrics
+        if self.cfg.prune_slot_cov > 0:
+            self.junctions = prune_slots(self.junctions,
+                                         self.cfg.prune_slot_cov)
         m.start("build")
         g = GraphBuilder(self.cfg, self.cascade, self.junctions,
                          self.sinks).build()
@@ -460,7 +584,9 @@ class ShardedPipeline:
             return g
         st = clean(g,
                    max_tip_len=int(cfg.tip_len_factor * cfg.max_read_length),
-                   min_cov=cfg.min_contig_cov)
+                   min_cov=cfg.min_contig_cov,
+                   pair_count=(self._pair_count_fn()
+                               if cfg.paired_ends else None))
         for k, v in st.items():
             self.metrics.add(f"clean_{k}", v)
         return g
@@ -478,3 +604,18 @@ class ShardedPipeline:
 def _vec_cascade(c: BL.Cascade, n_shards: int) -> BL.Cascade:
     return c._replace(a_table=vec_counters(c.a_table, n_shards),
                       b_table=vec_counters(c.b_table, n_shards))
+
+
+@jax.jit
+def prune_slots(junctions: T.Table, min_slot_cov) -> T.Table:
+    """Device pre-clean (first distributed cleaning pass, SURVEY.md §5
+    long-context analog / BASELINE config 5): zero junction slots whose
+    coverage is below the floor BEFORE walking. Purely elementwise over
+    the hash-range-sharded table, so under shard_map/PartitionSpec it is
+    a shard-LOCAL pass needing no communication; every pruned slot is a
+    contig the host's low-cov delete pass would have removed, but pruned
+    here it is never walked or extracted at all."""
+    cov8 = junctions.vals[0]
+    keep = cov8 >= min_slot_cov
+    return junctions._replace(
+        vals=(jnp.where(keep, cov8, 0),) + tuple(junctions.vals[1:]))

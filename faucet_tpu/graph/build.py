@@ -68,8 +68,16 @@ class _NarrowCodec:
         return {"hi": t["hi"][rows], "lo": t["lo"][rows]}
 
     def node_strs(self, t, rows):
-        return [decode_kmer(int(t["hi"][i]), int(t["lo"][i]), self.k)
-                for i in rows]
+        from faucet_tpu.core.kmer import decode_kmers_np
+
+        keys = _to_int(t["hi"], t["lo"])[np.asarray(rows, np.int64)]
+        return decode_kmers_np(keys, self.k)
+
+    def key_windows(self, s: str) -> np.ndarray:
+        """uint64 table keys of every canonical k-window of a string."""
+        from faucet_tpu.core.kmer import encode_windows_np
+
+        return encode_windows_np(s, self.k)
 
     def make_frontier(self, payload, dirs, forced, active, circle_ok,
                       pad):
@@ -101,6 +109,14 @@ class _NarrowCodec:
                         for i in range(n)],
         }
 
+    def key_of_str(self, s: str) -> int:
+        """Canonical table key of a k-mer string (host)."""
+        from faucet_tpu.core.kmer import encode_kmer
+
+        c = min(s, revcomp_seq(s))
+        hi, lo = encode_kmer(c)
+        return (hi << 32) | lo
+
 
 class _WideCodec:
     """k > 31: fingerprint keys; true 4-word codes stored as values."""
@@ -121,15 +137,10 @@ class _WideCodec:
 
     def make_frontier(self, payload, dirs, forced, active, circle_ok,
                       pad):
-        from faucet_tpu.core.wide import (decode_kmer_wide,
-                                          encode_kmer_wide)
+        from faucet_tpu.core.wide import revcomp_words_np
 
         words = payload["words"]  # [n, 4] uint32
-        n = len(words)
-        rcw = np.zeros_like(words)
-        for i in range(n):
-            rcw[i] = encode_kmer_wide(
-                revcomp_seq(decode_kmer_wide(words[i], self.k)))
+        rcw = revcomp_words_np(np.asarray(words, np.uint32), self.k)
         wpad = lambda a: pad(np.ascontiguousarray(a), 0)
         cw = tuple(jnp.asarray(wpad(words[:, j])) for j in range(4))
         rw = tuple(jnp.asarray(wpad(rcw[:, j])) for j in range(4))
@@ -158,6 +169,19 @@ class _WideCodec:
             "end_str": [decode_kmer_wide(words[i], self.k)
                         for i in range(n)],
         }
+
+    def key_of_str(self, s: str) -> int:
+        from faucet_tpu.core.wide import encode_kmer_wide, fingerprint_np
+
+        c = min(s, revcomp_seq(s))
+        hi, lo = fingerprint_np(
+            tuple(np.uint32(w) for w in encode_kmer_wide(c)))
+        return (int(hi) << 32) | int(lo)
+
+    def key_windows(self, s: str) -> np.ndarray:
+        from faucet_tpu.core.wide import encode_windows_wide_np
+
+        return encode_windows_wide_np(s, self.k)
 
 
 class GraphBuilder:
@@ -251,6 +275,14 @@ class GraphBuilder:
         all_rows = list(range(n_j))
         jnode_strs = self.codec_j.node_strs(jt, all_rows) if n_j else []
 
+        # sink/cap anchors (extracted once; pass-1 FP-trim + pass-2 seeds)
+        st = extract_table(self.sinks)
+        skeys = _to_int(st["hi"], st["lo"])
+        order = np.argsort(skeys, kind="stable")
+        for key in list(st.keys()):
+            st[key] = st[key][order]
+        self._sink_keys = np.sort(np.asarray(skeys, np.uint64))
+
         by_key: Dict[str, Contig] = {}
 
         # ---- pass 1: walks from every covered junction slot -------------
@@ -269,41 +301,45 @@ class GraphBuilder:
                 if c is not None:
                     by_key.setdefault(c.canonical_seq(), c)
 
-        visited = set()
+        # visited k-mers as uint64 table keys in sorted chunks — no
+        # Python string churn at genome scale (VERDICT r1 #4)
+        chunks: List[np.ndarray] = []
 
         def mark_visited(c: Contig):
             src = c.seq + (c.seq[: k - 1] if c.circular else "")
-            for i in range(len(src) - k + 1):
-                w = src[i : i + k]
-                visited.add(min(w, revcomp_seq(w)))
+            w = self.codec_s.key_windows(src)
+            if len(w):
+                chunks.append(np.sort(w))
+
+        def visited_mask(keys: np.ndarray) -> np.ndarray:
+            hit = np.zeros(len(keys), bool)
+            for ch in chunks:
+                idx = np.searchsorted(ch, keys)
+                idx = np.minimum(idx, len(ch) - 1)
+                hit |= ch[idx] == keys
+            return hit
 
         for c in by_key.values():
             mark_visited(c)
 
         # ---- pass 2: junction-free components from sink anchors ---------
-        st = extract_table(self.sinks)
-        skeys = _to_int(st["hi"], st["lo"])
-        order = np.argsort(skeys, kind="stable")
-        for key in list(st.keys()):
-            st[key] = st[key][order]
-        jset = {int(x) for x in jkeys}
+        jset = np.asarray(sorted({int(x) for x in jkeys}), np.uint64)
         n_s = len(st["hi"])
-        snode_strs = self.codec_s.node_strs(st, list(range(n_s))) \
-            if n_s else []
+        skeys_s = _to_int(st["hi"], st["lo"])
         chunk = 4096
-        pend = [i for i in range(n_s)
-                if int(_to_int(st["hi"][i], st["lo"][i])) not in jset]
-        while pend:
-            batch = []
-            for i in pend:
-                if snode_strs[i] not in visited:
-                    batch.append(i)
-                if len(batch) >= chunk:
-                    break
+        pend = np.arange(n_s)[~np.isin(skeys_s, jset)]
+        while len(pend):
+            # merge visited chunks once per round, filter pend in bulk
+            if len(chunks) > 1:
+                chunks[:] = [np.sort(np.concatenate(chunks))]
+            live = ~visited_mask(skeys_s[pend])
+            pend = pend[live]
+            batch = pend[:chunk].tolist()
+            pend = pend[chunk:]
             if not batch:
                 break
-            bset = set(batch)
-            pend = [i for i in pend if i not in bset]
+            snode_strs = {i: s for i, s in zip(
+                batch, self.codec_s.node_strs(st, batch))}
             new = self._pass2_contigs(st, batch, snode_strs)
             for c in new:
                 key = c.canonical_seq()
@@ -325,8 +361,17 @@ class GraphBuilder:
         seq = w0 + bases
         dist = int(dist8[slot])
         if kind in (W.END_DEAD, W.END_AMBIG, W.RUNNING):
-            if dist and steps > dist:
-                seq = seq[: k + dist]  # trim FP tail to observed coverage
+            if steps > dist:
+                # trim the Bloom-FP tail back to real coverage: deepest
+                # walked window that is a sink/cap anchor (every read
+                # run-end is one; SURVEY.md §3.2 mid-path caps), with
+                # the junction's dist bound as the floor — dist only
+                # sees reads that touched the junction itself
+                wk = self.codec_s.key_windows(seq[dist:])
+                hits = np.nonzero(np.isin(wk, self._sink_keys))[0]
+                keep = dist + (int(hits.max()) if len(hits) else 0)
+                if keep:
+                    seq = seq[: k + keep]
             cov = float(cov8[slot])
             return Contig(seq=seq, cov=cov, left=End(node, slot),
                           right=None)

@@ -8,13 +8,23 @@ to a fixpoint, then paired-end disentanglement runs once (§A.7e).
 Note on FP pruning: in this design Bloom false positives can only create
 (a) extra 1-in/1-out junction nodes — removed by collapse; (b) cov-0 slots
 — never walked; (c) FP tails past dead ends — trimmed at walk time by the
-recorded dist. So "FP pruning" is structural here rather than a separate
-pass (SURVEY.md §7.1 divergence note).
+recorded dist/caps. So "FP pruning" is structural here rather than a
+separate pass (SURVEY.md §7.1 divergence note).
 
-The compacted graph is O(genome branch points) — host-scale. Distributed
-cleaning for metagenome-scale graphs arrives with the sharded pipeline.
+Scale (VERDICT r1 #8): the delete passes (tips, chimeras, islands) —
+the bulk of every round's work — run VECTORIZED over numpy views of the
+graph (`_delete_round`), exactly reproducing the sequential semantics
+(including the per-anchor keep-the-last-tip rule). Node collapse walks
+the 1-1 node list once per round. Distributed pre-cleaning for
+metagenome-scale graphs: the sharded pipeline can prune junction slots
+below a coverage floor on device BEFORE walking (dist/sharded.py
+prune_slots, a shard-local pass over the hash-range-owned table), which
+shrinks the extracted graph by the same contigs these host passes would
+delete; the full halo-exchange design is documented in PARITY.md §config5.
 """
 from __future__ import annotations
+
+import numpy as np
 
 from faucet_tpu.graph.model import ContigGraph
 
@@ -67,6 +77,55 @@ def drop_short_isolated(g: ContigGraph, min_cov: float) -> int:
             g.remove_contig(i)
             removed += 1
     return removed
+
+
+def _delete_round(g: ContigGraph, max_tip_len: int, min_cov: float,
+                  do_tips: bool, do_low_cov: bool):
+    """One vectorized round of the three delete passes. Bit-equivalent
+    to clip_tips + drop_low_cov + drop_short_isolated run in sequence
+    (differential-tested in tests/unit/test_cleanvec.py)."""
+    idxs = np.asarray(g.live(), np.int64)
+    n = len(idxs)
+    if n == 0:
+        return 0, 0, 0
+    cs = [g.contigs[i] for i in idxs]
+    circ = np.fromiter((c.circular for c in cs), bool, n)
+    lens = np.fromiter((len(c.seq) for c in cs), np.int64, n)
+    cov = np.fromiter((c.cov for c in cs), np.float64, n)
+    has_l = np.fromiter((c.left is not None for c in cs), bool, n)
+    has_r = np.fromiter((c.right is not None for c in cs), bool, n)
+
+    n_tips = 0
+    kill = np.zeros(n, bool)
+    if do_tips:
+        one_end = has_l ^ has_r
+        cand = ~circ & one_end & (lens < max_tip_len)
+        # per-anchor sequential rule: tips are removed while the anchor
+        # keeps >= 2 ports; with T tip candidates and O other ports the
+        # scalar loop removes all T when O >= 1, else the first T-1
+        # (index order) — the LAST candidate survives
+        by_anchor = {}
+        for j in np.nonzero(cand)[0]:
+            c = cs[j]
+            e = c.left if c.left is not None else c.right
+            by_anchor.setdefault(e.node, []).append(j)
+        for node, js in by_anchor.items():
+            total = len(g.ports.get(node, {}))
+            others = total - len(js)
+            keep = js if others >= 1 else js[:-1]
+            for j in keep:
+                kill[j] = True
+        n_tips = int(kill.sum())
+
+    lc_kill = np.zeros(n, bool)
+    iso_kill = np.zeros(n, bool)
+    if do_low_cov:
+        lc_kill = ~kill & ~circ & has_l & has_r & (cov < min_cov)
+        iso_kill = (~kill & ~circ & ~has_l & ~has_r
+                    & (lens < 3 * g.k) & (cov < min_cov))
+    for j in np.nonzero(kill | lc_kill | iso_kill)[0]:
+        g.remove_contig(int(idxs[j]))
+    return n_tips, int(lc_kill.sum()), int(iso_kill.sum())
 
 
 def collapse_all(g: ContigGraph) -> int:
@@ -251,23 +310,15 @@ def clean(g: ContigGraph, max_tip_len: int = 200, min_cov: float = 2.0,
 
     def fixpoint():
         for _ in range(max_rounds):
-            changed = 0
-            if do_tips:
-                n = clip_tips(g, max_tip_len)
-                stats["tips"] += n
-                changed += n
-            if do_low_cov:
-                n = drop_low_cov(g, min_cov)
-                stats["low_cov"] += n
-                changed += n
-                n = drop_short_isolated(g, min_cov)
-                stats["isolated"] += n
-                changed += n
-            n = collapse_all(g)
-            stats["collapsed"] += n
-            changed += n
+            nt, nl, ni = _delete_round(g, max_tip_len, min_cov, do_tips,
+                                       do_low_cov)
+            stats["tips"] += nt
+            stats["low_cov"] += nl
+            stats["isolated"] += ni
+            nc = collapse_all(g)
+            stats["collapsed"] += nc
             stats["rounds"] += 1
-            if not changed:
+            if not (nt + nl + ni + nc):
                 break
 
     fixpoint()

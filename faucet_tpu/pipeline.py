@@ -185,6 +185,11 @@ class Pipeline:
     # ---- phases 3-5 ------------------------------------------------------
     def build(self) -> ContigGraph:
         m = self.metrics
+        if self.cfg.prune_slot_cov > 0:
+            from faucet_tpu.dist.sharded import prune_slots
+
+            self.junctions = prune_slots(self.junctions,
+                                         self.cfg.prune_slot_cov)
         m.start("build")
         g = GraphBuilder(self.cfg, self.cascade, self.junctions,
                          self.sinks).build()
@@ -247,12 +252,27 @@ class Pipeline:
         Like the reference's pipe mode, junction discovery early in the
         stream sees a partially-filled B; later traversals of the same
         loci repair coverage (SURVEY.md §3.1 note on interleaving).
+        With --paired_ends the stream is interleaved mates: both mate
+        batches are inserted, then pair-scanned (VERDICT r1 weak #6).
         """
         m = self.metrics
         m.start("stream")
-        for bases, lens in batch_iter(reads, self.cfg):
-            self.load_batch(bases, lens)
-            self.scan_batch(bases, lens)
+        if self.cfg.paired_ends:
+            from faucet_tpu.io.fastq import deinterleave
+
+            m1, m2 = [], []
+            for a, b in deinterleave(iter(reads)):
+                m1.append(a)
+                m2.append(b)
+                if len(m1) == self.cfg.batch_reads:
+                    self._stream_pair_batch(m1, m2)
+                    m1, m2 = [], []
+            if m1:
+                self._stream_pair_batch(m1, m2)
+        else:
+            for bases, lens in batch_iter(reads, self.cfg):
+                self.load_batch(bases, lens)
+                self.scan_batch(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()
@@ -260,3 +280,11 @@ class Pipeline:
         self.metrics.add("contigs", len(g.live()))
         self.metrics.emit("assembly_done", stats=g.stats())
         return g
+
+    def _stream_pair_batch(self, m1: List[str], m2: List[str]):
+        pad = self.cfg.batch_reads - len(m1)
+        b1, l1 = pack_reads(m1 + [""] * pad, self.cfg.max_read_length)
+        b2, l2 = pack_reads(m2 + [""] * pad, self.cfg.max_read_length)
+        self.load_batch(b1, l1)
+        self.load_batch(b2, l2)
+        self._scan_pair_batch(m1, m2)

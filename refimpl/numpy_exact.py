@@ -136,10 +136,16 @@ class ExactAssembler:
         """Process one maximal solid run: windows a..b inclusive."""
         k = self.k
         j_idx = [p for p in range(a, b + 1) if self.is_branch(canons[p])]
+        # BOTH run-end k-mers become sink/cap anchors — including run
+        # ends INSIDE junction-containing reads (SURVEY.md §3.2 "at read
+        # end mid-path: record/update sink", §A.4). Caps mark how deep
+        # real read coverage reaches along a path; pass-1 walks trim
+        # Bloom-FP tails back to the DEEPEST cap instead of to the
+        # junction's own dist bound, which only sees reads that touched
+        # the junction (VERDICT r1 missing-#2).
+        self.sinks[canons[a]] = self.sinks.get(canons[a], 0) + 1
+        self.sinks[canons[b]] = self.sinks.get(canons[b], 0) + 1
         if not j_idx:
-            # junction-free run: both end k-mers become sink anchors
-            self.sinks[canons[a]] = self.sinks.get(canons[a], 0) + 1
-            self.sinks[canons[b]] = self.sinks.get(canons[b], 0) + 1
             return
         hits.extend(canons[p] for p in j_idx)
         for t, p in enumerate(j_idx):
@@ -214,8 +220,18 @@ class ExactAssembler:
             w, fb = revcomp_seq(node), 3 - (slot - 4)
         bases, end, circular, steps = self._extend(w, first_base=fb)
         dist = j["dist"][slot]
-        if end is None and not circular and dist and steps > dist:
-            bases = bases[:dist]  # trim Bloom-FP tail to observed coverage
+        if end is None and not circular and steps > dist:
+            # trim the Bloom-FP tail back to real coverage: the deepest
+            # walked k-mer that is a sink/cap anchor (every read's run
+            # end is one), or the junction's dist bound if deeper
+            seq_full = w + bases
+            keep = dist
+            for p in range(steps, dist, -1):
+                if canon(seq_full[p : p + self.k]) in self.sinks:
+                    keep = p
+                    break
+            if keep:
+                bases = bases[:keep]
         seq = w + bases
         cov_terms = [j["cov"][slot]]
         if end is not None:
