@@ -113,28 +113,32 @@ class WideView(NamedTuple):
 
 
 def kmerize_wide(bases, lens, k: int) -> WideView:
+    """All wide k-windows, fully vectorized (no sequential scan): base
+    at window offset j lands at bit 2(k-1-j) of fwd and bit 2j of rc —
+    direct bit-sums over k strided [B, P] slices, bit-identical to the
+    rolling wshl2/wshr2 recurrence (tests/golden/test_wide_k.py) but free
+    of lax.scan's ~200 us/step dispatch cost (round-2 profile)."""
     B, L = bases.shape
     P = L - k + 1
-    top = 2 * (k - 1)
 
-    def step(carry, b):
-        fwd, rc, nok = carry
-        is_ok = b < 4
-        bb = jnp.where(is_ok, b, 0).astype(U32)
-        fwd = wmask(wor_low(wshl2(fwd), bb), 2 * k)
-        rc = wor_at(wshr2(rc), np.uint32(3) - bb, top)
-        nok = jnp.where(is_ok, nok + 1, 0)
-        return (fwd, rc, nok), (fwd, rc, nok)
+    ok = bases < 4
+    bb = jnp.where(ok, bases, 0).astype(U32)
+    fwd = list(wzero((B, P)))
+    rc = list(wzero((B, P)))
+    for j in range(k):
+        w = jax.lax.slice_in_dim(bb, j, j + P, axis=1)
+        bf = 2 * (k - 1 - j)           # fwd bit offset (0 = LSB word 3)
+        fwd[3 - bf // 32] = fwd[3 - bf // 32] | (w << (bf % 32))
+        br = 2 * j
+        wc = np.uint32(3) - w
+        rc[3 - br // 32] = rc[3 - br // 32] | (wc << (br % 32))
+    fwd, rc = tuple(fwd), tuple(rc)
 
-    init = (wzero((B,)), wzero((B,)), jnp.zeros((B,), jnp.int32))
-    _, (fwd, rc, nok) = jax.lax.scan(step, init, bases.T.astype(U32))
-
-    pv = lambda a: a[k - 1 :].T
-    fwd = tuple(pv(a) for a in fwd)
-    rc = tuple(pv(a) for a in rc)
-    nok = pv(nok)
+    cbad = jnp.cumsum((~ok).astype(jnp.int32), axis=1)
+    bad_in_win = (jax.lax.slice_in_dim(cbad, k - 1, L, axis=1)
+                  - jnp.pad(cbad, ((0, 0), (1, 0)))[:, :P])
     ends = jnp.arange(k - 1, L, dtype=jnp.int32)[None, :]
-    valid = (nok >= k) & (ends < lens[:, None])
+    valid = (bad_in_win == 0) & (ends < lens[:, None])
     cisf = wle(fwd, rc)
     canon = wselect(cisf, fwd, rc)
     khi, klo = fingerprint(canon)
