@@ -63,7 +63,7 @@ def main():
     genome = SIM.genome_with_repeats(rng, G, n_repeats=max(4, G // 250_000),
                                      repeat_len=400)
     reads = SIM.shred(rng, genome, coverage=args.coverage, read_len=100,
-                      err=0.005)
+                      err_rate=0.005)
     t_synth = time.perf_counter() - t0
     n_kmers = len(genome) - args.k + 1
     cfg = Config(size_kmer=args.k, max_read_length=100,
@@ -78,21 +78,22 @@ def main():
           f"A={cfg.bloom_a_bits >> 23}MB B={cfg.bloom_b_bits >> 23}MB",
           file=sys.stderr, flush=True)
 
-    m.start("load")
-    p.load_batches(batch_iter(reads, cfg))
-    m.stop("load")
-    m.start("scan")
-    p.scan_batches(batch_iter(reads, cfg))
-    m.stop("scan")
-    m.start("graph_build")
-    g = p.build()
-    m.stop("graph_build")
-    m.start("clean")
-    g = p.clean_graph(g)
-    m.stop("clean")
-    m.start("extract")
-    contigs = [g.contigs[i].seq for i in g.live()]
-    m.stop("extract")
+    phase_s = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        r = fn()
+        phase_s[name] = round(time.perf_counter() - t, 2)
+        print(f"[scale] {name}: {phase_s[name]}s", file=sys.stderr,
+              flush=True)
+        return r
+
+    timed("load", lambda: p.load_batches(batch_iter(reads, cfg)))
+    timed("scan", lambda: p.scan_batches(batch_iter(reads, cfg)))
+    g = timed("graph_build", p.build)
+    g = timed("clean", lambda: p.clean_graph(g))
+    contigs = timed("extract",
+                    lambda: [g.contigs[i].seq for i in g.live()])
 
     # recovered fraction: contig bases that exactly tile the genome
     # (quick containment check on a sample to stay cheap at scale)
@@ -106,7 +107,7 @@ def main():
         "genome_mbp": args.mbp,
         "reads": len(reads),
         "synth_s": round(t_synth, 2),
-        "phase_s": {k: round(v, 2) for k, v in m.timers.items()},
+        "phase_s": phase_s,
         "contigs": len(contigs),
         "n50": n50(lens),
         "total_contig_bases": int(sum(lens)),
