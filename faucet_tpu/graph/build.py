@@ -229,19 +229,22 @@ class GraphBuilder:
             self._jitted[rkey] = jax.jit(resolve,
                                          static_argnames=("cfg",))
         resolve = self._jitted[rkey]
-        strips: List[np.ndarray] = []
+        strips = []  # device arrays; fetched once after the loop (the
+        # per-round fetch was one extra host sync per round — the
+        # convergence scalar below already syncs, and strips are only
+        # consumed after termination)
         total = 0
         while total < cfg.max_contig_len:
             fr, bases = runner(self.cascade, self.junctions, fr,
                                n_steps=cfg.walk_round_steps, cfg=cfg)
-            strips.append(fetch(bases))
+            strips.append(bases)
             total += cfg.walk_round_steps
             # re-arm walks retired on Bloom-fp branches (lookahead)
             fr = resolve(self.cascade, fr, cfg=cfg)
             if not bool(fetch(jnp.any(fr.active))):
                 break
-        allb = np.concatenate(strips, axis=1) if strips else np.zeros(
-            (Wp, 0), np.uint8)
+        allb = np.concatenate([fetch(b) for b in strips], axis=1) \
+            if strips else np.zeros((Wp, 0), np.uint8)
         out = {
             "bases": allb[:n],
             "end_kind": fetch(fr.end_kind)[:n],
