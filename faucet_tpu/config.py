@@ -60,6 +60,12 @@ class Config:
     node_cap_d_override: Optional[int] = None
     node_cap_e_override: Optional[int] = None
     max_contig_len: int = 200_000          # global walk bound (bases)
+    fp_lookahead: int = 8                  # walk fp-branch arbitration depth:
+    #   at an ambiguous step each solid candidate must survive this many
+    #   greedy extension steps through B; a Bloom-fp chain survives with
+    #   P ~ (4*fp_rate)^depth, so 8 makes a stuck walk ~never (the
+    #   reference's serial walk never stalls because its dist bound picks
+    #   the path; the lockstep walk arbitrates locally instead)
     scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
     walk_round_steps: int = 256            # frontier steps per walk round

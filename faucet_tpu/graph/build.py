@@ -348,6 +348,18 @@ class GraphBuilder:
                 key = c.canonical_seq()
                 if key in by_key:
                     continue
+                # Drop near-duplicates of already-walked paths: a sink
+                # anchor that is itself a Bloom-fp/error k-mer one base
+                # OFF a real path passes the seed-key visited filter,
+                # but its walk immediately rejoins the path and re-emits
+                # an existing contig (whose port attachments it would
+                # then clobber — ports are one contig per slot). Genuine
+                # junction-free components are ~0% visited; these junk
+                # re-walks are ~100%.
+                w = self.codec_s.key_windows(
+                    c.seq + (c.seq[: k - 1] if c.circular else ""))
+                if len(w) and visited_mask(w).mean() > 0.5:
+                    continue
                 by_key[key] = c
                 mark_visited(c)
 
@@ -390,6 +402,28 @@ class GraphBuilder:
         # circular cannot happen for junction-seeded walks (circle_ok off)
         return None
 
+    def _trim_open_ends(self, seq: str, left_open: bool,
+                        right_open: bool) -> str:
+        """Trim Bloom-FP tail bases off walk ends that did not land on a
+        junction: cut back to the outermost windows that are sink/cap
+        anchors. Every read run-end is an anchor (SURVEY.md §3.2 mid-path
+        caps), so real coverage always ends ON an anchor while an FP tail
+        k-mer is in the sink table only by key collision — the same rule
+        pass-1 applies past its dist bound (VERDICT r2 weak #2: pass-2
+        contigs previously kept 1-2 junk bases per open end)."""
+        if not (left_open or right_open):
+            return seq
+        k = self.cfg.size_kmer
+        if len(seq) < k:
+            return seq
+        wk = self.codec_s.key_windows(seq)
+        pos = np.nonzero(np.isin(wk, self._sink_keys))[0]
+        if not len(pos):
+            return seq
+        lo = int(pos.min()) if left_open else 0
+        hi = int(pos.max()) if right_open else len(wk) - 1
+        return seq[lo:hi + k]
+
     def _pass2_contigs(self, st, batch, snode_strs) -> List[Contig]:
         cfg = self.cfg
         k = cfg.size_kmer
@@ -420,6 +454,7 @@ class GraphBuilder:
             right = None
             if int(rout["end_kind"][j]) == W.END_JUNCTION:
                 right = End(rout["end_str"][j], int(rout["entry_slot"][j]))
+            seq = self._trim_open_ends(seq, left is None, right is None)
             contigs.append(Contig(seq=seq, cov=cov, left=left,
                                   right=right))
         return contigs

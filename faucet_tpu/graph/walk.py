@@ -137,30 +137,56 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
 
 
 def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
-    """Re-arm walks retired on Bloom-fp branches via 1-step lookahead.
+    """Re-arm walks retired on Bloom-fp branches via deep greedy lookahead.
 
     Reference analogue: the BF walk's fp-branch tolerance — "exactly one
     should be solid (else: FP-branch — resolved by bound dist / endpoint
-    match)" (SURVEY.md §3.5 [C:med]). A false-positive k-mer almost never
-    extends (P ~ 4*fp), so at an ambiguous step the candidate with a
-    solid continuation is the real path; walks resume with that base
-    forced. Runs between rounds over the whole frontier with lookahead
-    probes masked to the ambiguous lanes (the probe kernel skips masked
-    lanes), so the per-step hot loop stays 4 probes."""
+    match)" (SURVEY.md §3.5 [C:med]). At an ambiguous step each solid
+    candidate must survive cfg.fp_lookahead further greedy extension
+    steps through B; a false-positive chain survives a step with
+    P ~ 4*fp_rate, so depth d kills fakes with P ~ (4*fp)^d while the
+    real path always continues (unless the path genuinely ends within d
+    — then no candidate survives and the dist/cap trim applies, same as
+    a dead end). Walks resume with the surviving base forced. Runs
+    between rounds over the whole frontier; all probes are masked to the
+    ambiguous lanes (the probe kernel skips masked lanes), and the 4
+    candidates ride one batched probe per lookahead step."""
     k = cfg.size_kmer
     amb = (fr.end_kind == END_AMBIG) & ~fr.active
-    strongs = []
-    for b in range(4):
-        e = KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
-        chi, clo, _ = KM.canon_of(*e)
-        sb = BL.cascade_solid(cascade, chi, clo, amb, cfg)
-        cont = jnp.zeros_like(sb)
-        for b2 in range(4):
-            e2 = KM.right_ext(*e, np.uint32(b2), k)
-            c2h, c2l, _ = KM.canon_of(*e2)
-            cont = cont | BL.cascade_solid(cascade, c2h, c2l, sb, cfg)
-        strongs.append(sb & cont)
-    strong4 = jnp.stack(strongs, axis=-1)
+    # candidate frame [4, W]: all 4 right extensions advanced in lockstep
+    exts = [KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
+            for b in range(4)]
+    cur = tuple(jnp.stack([e[j] for e in exts]) for j in range(4))
+    chi, clo, _ = KM.canon_of(*cur)
+    alive = BL.cascade_solid(cascade, chi, clo,
+                             jnp.broadcast_to(amb, chi.shape), cfg)
+    first = alive
+
+    # Each lookahead step advances every candidate one base, choosing
+    # among its 4 children with a 2-level rule: prefer a child that has
+    # a solid grandchild ("strong"), else any solid child. A plain
+    # greedy argmax over child solidity veers onto dead-end fp children
+    # ~1%/step and falsely kills the REAL candidate; requiring a
+    # grandchild makes a veer need two stacked fps (~fp^2), while the
+    # real child is always strong away from genuine path ends.
+    for _ in range(int(cfg.fp_lookahead)):
+        ch = [KM.right_ext(*cur, np.uint32(b2), k) for b2 in range(4)]
+        chi = jnp.stack([KM.canon_of(*e)[0] for e in ch])   # [4, 4, W]
+        clo = jnp.stack([KM.canon_of(*e)[1] for e in ch])
+        s_child = BL.cascade_solid(
+            cascade, chi, clo, jnp.broadcast_to(alive, chi.shape), cfg)
+        cur4 = tuple(jnp.stack([e[j] for e in ch]) for j in range(4))
+        gr = [KM.right_ext(*cur4, np.uint32(b3), k) for b3 in range(4)]
+        ghi = jnp.stack([KM.canon_of(*e)[0] for e in gr])   # [4, 4, 4, W]
+        glo = jnp.stack([KM.canon_of(*e)[1] for e in gr])
+        s_grand = BL.cascade_solid(
+            cascade, ghi, glo, jnp.broadcast_to(s_child, ghi.shape), cfg)
+        strong = s_child & jnp.any(s_grand, axis=0)
+        score = strong.astype(I32) * 2 + s_child.astype(I32)
+        bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)  # [4, W]
+        alive = alive & jnp.any(s_child, axis=0)
+        cur = KM.right_ext(*cur, bsel, k)
+    strong4 = (first & alive).T                    # [W, 4]
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     return fr._replace(
@@ -261,25 +287,53 @@ def walk_round_wide(cascade: BL.Cascade, junctions: T.Table,
 
 def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
                            ) -> FrontierW:
-    """Wide-code twin of resolve_ambiguous (same fp-branch lookahead)."""
+    """Wide-code twin of resolve_ambiguous (same deep greedy lookahead)."""
     from faucet_tpu.core import wide as WD
 
     k = cfg.size_kmer
     amb = (fr.end_kind == END_AMBIG) & ~fr.active
-    strongs = []
-    for b in range(4):
-        nf, nr = WD.right_ext_wide(fr.fwd, fr.rc, np.uint32(b), k)
-        c, _ = WD.canon_of_wide(nf, nr)
-        khi, klo = WD.fingerprint(c)
-        sb = BL.cascade_solid(cascade, khi, klo, amb, cfg)
-        cont = jnp.zeros_like(sb)
-        for b2 in range(4):
-            nf2, nr2 = WD.right_ext_wide(nf, nr, np.uint32(b2), k)
-            c2, _ = WD.canon_of_wide(nf2, nr2)
-            k2h, k2l = WD.fingerprint(c2)
-            cont = cont | BL.cascade_solid(cascade, k2h, k2l, sb, cfg)
-        strongs.append(sb & cont)
-    strong4 = jnp.stack(strongs, axis=-1)
+    # candidate frame: word tuples stacked to [4, W]
+    exts = [WD.right_ext_wide(fr.fwd, fr.rc, np.uint32(b), k)
+            for b in range(4)]
+    fwd = tuple(jnp.stack([e[0][j] for e in exts]) for j in range(4))
+    rc = tuple(jnp.stack([e[1][j] for e in exts]) for j in range(4))
+    c, _ = WD.canon_of_wide(fwd, rc)
+    khi, klo = WD.fingerprint(c)
+    alive = BL.cascade_solid(cascade, khi, klo,
+                             jnp.broadcast_to(amb, khi.shape), cfg)
+    first = alive
+
+    # 2-level rule, same as the narrow resolver: prefer children with a
+    # solid grandchild so a dead-end fp child cannot veer-kill the real
+    # candidate (see resolve_ambiguous).
+    def keys_of(frames):
+        his, los = [], []
+        for nf, nr in frames:
+            cn, _ = WD.canon_of_wide(nf, nr)
+            h, l = WD.fingerprint(cn)
+            his.append(h)
+            los.append(l)
+        return jnp.stack(his), jnp.stack(los)
+
+    for _ in range(int(cfg.fp_lookahead)):
+        ch = [WD.right_ext_wide(fwd, rc, np.uint32(b2), k)
+              for b2 in range(4)]
+        chi, clo = keys_of(ch)                     # [4, 4, W]
+        s_child = BL.cascade_solid(
+            cascade, chi, clo, jnp.broadcast_to(alive, chi.shape), cfg)
+        cfwd = tuple(jnp.stack([e[0][j] for e in ch]) for j in range(4))
+        crc = tuple(jnp.stack([e[1][j] for e in ch]) for j in range(4))
+        gr = [WD.right_ext_wide(cfwd, crc, np.uint32(b3), k)
+              for b3 in range(4)]
+        ghi, glo = keys_of(gr)                     # [4, 4, 4, W]
+        s_grand = BL.cascade_solid(
+            cascade, ghi, glo, jnp.broadcast_to(s_child, ghi.shape), cfg)
+        strong = s_child & jnp.any(s_grand, axis=0)
+        score = strong.astype(I32) * 2 + s_child.astype(I32)
+        bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)
+        alive = alive & jnp.any(s_child, axis=0)
+        fwd, rc = WD.right_ext_wide(fwd, rc, bsel, k)
+    strong4 = (first & alive).T
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     return fr._replace(
