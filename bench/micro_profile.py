@@ -203,20 +203,28 @@ def profile_stages():
     timeit_dev(rr_step, (solid, jnp.zeros((), jnp.int32)),
                "_row_runs two scans P=70")
 
-    # --- compaction argsort ---
+    # --- compaction (argsort fallback vs Pallas mask_indices) ---
     K = min(B * P, cfg.scan_update_cap)
     flatj = isj.reshape(-1)
 
     def cp_step(s):
         m, kh = s
-        cm, (h, l), dr = SC._compact(m, K, (kh, klo))
-        return (jnp.roll(m, 7), mut(dr, kh))
-    timeit_dev(cp_step, (flatj, khi), f"_compact argsort 573k->{K}")
+        order = jnp.argsort(~m, stable=True)
+        return (jnp.roll(m, 7), mut(order[:K].sum(dtype=jnp.int32), kh))
+    timeit_dev(cp_step, (flatj, khi), f"compaction argsort 573k->{K}")
+    from faucet_tpu.kernels.compact import mask_indices
+
+    def ci_step(s):
+        m, kh = s
+        idx, cnt = mask_indices(m, K)
+        return (jnp.roll(m, 7), mut(idx.sum(dtype=jnp.uint32) + cnt.astype(jnp.uint32), kh))
+    timeit_dev(ci_step, (flatj, khi), f"compaction kernel 573k->{K}")
 
     # --- junction upsert ---
     jt = T.make(cfg.junction_cap, (((8,), jnp.int32), ((8,), jnp.uint16)))
-    cm, (chi2, clo2), _ = jax.jit(
-        lambda m, h, l: SC._compact(m, K, (h, l)))(flatj, khi, klo)
+    order = jnp.argsort(~flatj, stable=True)[:K]
+    cm = jnp.asarray(flatj)[order]
+    chi2, clo2 = khi[order], klo[order]
     cov8 = jnp.ones((K, 8), jnp.int32)
     dist8 = jnp.ones((K, 8), jnp.uint16)
 

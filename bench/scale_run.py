@@ -1,10 +1,7 @@
 #!/usr/bin/env python
-"""Scale validation (VERDICT r1 #4): end-to-end assembly on a multi-Mbp
-repeat-structured synthetic, reporting per-phase wall-clock.
-
-The point is to demonstrate that NO phase is host-Python-bound at scale
-— the graph build/clean phases run on vectorized numpy arrays (round-2
-rewrite) and must stay a small fraction of the stream phases.
+"""Scale validation: end-to-end assembly on a multi-Mbp repeat-structured
+synthetic, reporting per-phase wall-clock AND assembly quality vs the
+exact ground truth of the generated genome (VERDICT r2 #2).
 
 Environment note: the axon TPU tunnel moves host<->device data at
 ~MB/min, so a host-side graph phase against device tables is tunnel-
@@ -13,8 +10,19 @@ local CPU backend by default (honest host-side timing; the TPU stream
 rate is bench.py's job). Use --platform to override.
 
 Writes bench/scale_run.json:
-  {genome_mbp, reads, phase_s: {load, scan, walk, build, clean,
-   extract}, contigs, n50, genome_recovered_frac}
+  {genome_mbp, reads, synth_s,
+   phase_s: {load, scan, graph_build, clean},   # contig extraction is
+                                                # materialized inside
+                                                # graph_build (strings
+                                                # are built by the walk
+                                                # decoder), so it has no
+                                                # separate phase
+   contigs, n50, total_contig_bases,
+   truth_unitigs, truth_n50, n50_vs_truth,
+   genome_true_frac, truth_recovered_frac, platform}
+
+With --check, asserts the BASELINE-metric quality gate (exit 1 on miss):
+  genome_true_frac >= 0.99 and n50_vs_truth >= 0.9
 """
 import argparse
 import json
@@ -27,22 +35,22 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def n50(lengths):
-    if not lengths:
-        return 0
-    s = np.sort(np.asarray(lengths))[::-1]
-    c = np.cumsum(s)
-    return int(s[np.searchsorted(c, c[-1] / 2)])
+from quality import assess, n50, truth_recovery  # noqa: E402  (bench/)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mbp", type=float, default=4.0)
-    ap.add_argument("--coverage", type=float, default=12.0)
+    ap.add_argument("--coverage", type=float, default=30.0)
+    ap.add_argument("--err", type=float, default=0.005)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--check", action="store_true",
+                    help="assert the quality gate (>=99%% genome-true, "
+                         "N50-vs-truth >= 0.9)")
     ap.add_argument("--out", default=os.path.join(REPO, "bench",
                                                   "scale_run.json"))
     args = ap.parse_args()
@@ -56,6 +64,7 @@ def main():
     from faucet_tpu.config import Config
     from faucet_tpu.metrics import Metrics
     from faucet_tpu.pipeline import Pipeline, batch_iter
+    from refimpl.unitigs import genome_graph
 
     G = int(args.mbp * 1e6)
     rng = np.random.default_rng(0)
@@ -63,14 +72,15 @@ def main():
     genome = SIM.genome_with_repeats(rng, G, n_repeats=max(4, G // 250_000),
                                      repeat_len=400)
     reads = SIM.shred(rng, genome, coverage=args.coverage, read_len=100,
-                      err_rate=0.005)
+                      err_rate=args.err)
     t_synth = time.perf_counter() - t0
     n_kmers = len(genome) - args.k + 1
     cfg = Config(size_kmer=args.k, max_read_length=100,
                  batch_reads=args.batch,
                  estimated_kmers=n_kmers,
-                 singletons=int(len(reads) * 100 * 0.005 * args.k) + n_kmers,
-                 junction_capacity=1 << 20, sink_capacity=1 << 21,
+                 singletons=int(len(reads) * 100 * args.err * args.k)
+                 + n_kmers,
+                 junction_capacity=1 << 20, sink_capacity=4 * n_kmers,
                  fp_rate=0.01)
     m = Metrics()
     p = Pipeline(cfg, m)
@@ -92,31 +102,38 @@ def main():
     timed("scan", lambda: p.scan_batches(batch_iter(reads, cfg)))
     g = timed("graph_build", p.build)
     g = timed("clean", lambda: p.clean_graph(g))
-    contigs = timed("extract",
-                    lambda: [g.contigs[i].seq for i in g.live()])
+    contigs = [g.contigs[i].seq for i in g.live()]
 
-    # recovered fraction: contig bases that exactly tile the genome
-    # (quick containment check on a sample to stay cheap at scale)
-    from faucet_tpu.core.kmer import revcomp_seq
-
-    sample = contigs[:2000]
-    hit = sum(1 for c in sample
-              if c in genome or revcomp_seq(c) in genome)
+    tg = genome_graph(genome, args.k)
+    truth = [tg.contigs[i].seq for i in tg.live()]
     lens = [len(c) for c in contigs]
+    tlens = [len(t) for t in truth]
     rec = {
         "genome_mbp": args.mbp,
+        "coverage": args.coverage,
+        "err": args.err,
         "reads": len(reads),
         "synth_s": round(t_synth, 2),
         "phase_s": phase_s,
         "contigs": len(contigs),
         "n50": n50(lens),
         "total_contig_bases": int(sum(lens)),
-        "sampled_contigs_matching_genome": f"{hit}/{len(sample)}",
+        "truth_unitigs": len(truth),
+        "truth_n50": n50(tlens),
+        "n50_vs_truth": round(n50(lens) / max(n50(tlens), 1), 4),
         "platform": args.platform,
     }
+    rec.update(assess(contigs, genome, args.k))
+    rec.update(truth_recovery(contigs, truth, genome))
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec), flush=True)
+    if args.check:
+        ok = (rec["genome_true_frac"] >= 0.99
+              and rec["n50_vs_truth"] >= 0.9)
+        print(f"[scale] quality gate: "
+              f"{'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,9 @@ class Config:
     scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
     walk_round_steps: int = 256            # frontier steps per walk round
+    walk_rounds_per_call: int = 8          # rounds folded into one device
+    #   dispatch (lax.while_loop with early exit); bounds per-call strip
+    #   memory at [W, rounds*steps] u8 while cutting host syncs 8x
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
     min_contig_cov: float = 2.5            # clean: drop contigs below this cov
     prune_slot_cov: int = 0                # device pre-clean: zero junction

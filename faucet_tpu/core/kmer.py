@@ -95,6 +95,23 @@ def revcomp_code_np(v: np.ndarray, k: int) -> np.ndarray:
     return v >> np.uint64(64 - 2 * k)
 
 
+def neighbor_keys_np(keys: np.ndarray, k: int) -> np.ndarray:
+    """Canonical codes of the 8 single-base neighbors of each canonical
+    code: [n] uint64 -> [n, 8] (4 right extensions, 4 left). Host numpy
+    twin of slot_ext_pairs, used by the graph build to pre-filter pass-2
+    sink seeds that sit one base off already-walked territory."""
+    keys = np.asarray(keys, np.uint64)
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    top = np.uint64(2 * (k - 1))
+    out = np.empty((len(keys), 8), np.uint64)
+    for b in range(4):
+        r = ((keys << np.uint64(2)) | np.uint64(b)) & mask
+        out[:, b] = np.minimum(r, revcomp_code_np(r, k))
+        lft = (keys >> np.uint64(2)) | (np.uint64(b) << top)
+        out[:, 4 + b] = np.minimum(lft, revcomp_code_np(lft, k))
+    return out
+
+
 def encode_windows_np(seq: str, k: int) -> np.ndarray:
     """Canonical codes of every k-window of a host string, vectorized
     (uint64[len(seq)-k+1]). Replaces per-window Python encode/canon in

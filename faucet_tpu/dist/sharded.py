@@ -252,21 +252,51 @@ def _pairs_local(pairs: T.Table, jm1, chi1, clo1, jm2, chi2, clo2, *,
     its local pair-table slice."""
     from faucet_tpu.core.hashing import pair_key
 
-    ahi, alo, av = SC._row_junctions(jm1, chi1, clo1)
-    bhi, blo, bv = SC._row_junctions(jm2, chi2, clo2)
-    khi, klo = pair_key(ahi[:, :, None], alo[:, :, None],
-                        bhi[:, None, :], blo[:, None, :])
-    mask = (av[:, :, None] & bv[:, None, :]).reshape(-1)
-    khi = khi.reshape(-1)
-    klo = klo.reshape(-1)
-    owner = _owner(khi, klo, shard_bits)
-    cap = _cap_for(khi.shape[0], n_shards)
-    pairs, unsent = R.route_consume(
-        {"hi": khi, "lo": klo}, owner, mask, n_shards, cap,
-        lambda t, recv, rmask: T.upsert(
-            t, recv["hi"], recv["lo"],
-            (jnp.ones(rmask.shape, I32),), rmask, modes=("add",)),
-        pairs)
+    ahi, alo, av, na = SC._row_junctions(jm1, chi1, clo1)
+    bhi, blo, bv, nb = SC._row_junctions(jm2, chi2, clo2)
+    J = SC.J_CHUNK
+    B = ahi.shape[0]
+
+    def padJ(x, fill):
+        padn = (-x.shape[1]) % J
+        if not padn:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padn)),
+                       constant_values=x.dtype.type(fill))
+
+    ahi, alo, av = padJ(ahi, 0xFFFFFFFF), padJ(alo, 0xFFFFFFFF), \
+        padJ(av, False)
+    bhi, blo, bv = padJ(bhi, 0xFFFFFFFF), padJ(blo, 0xFFFFFFFF), \
+        padJ(bv, False)
+    # every shard must run the same (lossless) tile count: pmax over the
+    # mesh axis so the collectives inside route_consume stay congruent
+    ra = jax.lax.pmax((jnp.max(na) + (J - 1)) // J, "shard")
+    rb = jax.lax.pmax((jnp.max(nb) + (J - 1)) // J, "shard")
+    cap = _cap_for(B * J * J, n_shards)
+
+    def tile(i, carry):
+        pairs, unsent = carry
+        ta, tb = i // jnp.maximum(rb, 1), i % jnp.maximum(rb, 1)
+        sl = lambda x, t: jax.lax.dynamic_slice(x, (0, t * J), (B, J))
+        khi, klo = pair_key(sl(ahi, ta)[:, :, None],
+                            sl(alo, ta)[:, :, None],
+                            sl(bhi, tb)[:, None, :],
+                            sl(blo, tb)[:, None, :])
+        mask = (sl(av, ta)[:, :, None] & sl(bv, tb)[:, None, :]) \
+            .reshape(-1)
+        khi = khi.reshape(-1)
+        klo = klo.reshape(-1)
+        owner = _owner(khi, klo, shard_bits)
+        pairs, u = R.route_consume(
+            {"hi": khi, "lo": klo}, owner, mask, n_shards, cap,
+            lambda t, recv, rmask: T.upsert(
+                t, recv["hi"], recv["lo"],
+                (jnp.ones(rmask.shape, I32),), rmask, modes=("add",)),
+            pairs)
+        return pairs, unsent + u
+
+    pairs, unsent = jax.lax.fori_loop(
+        0, ra * rb, tile, (pairs, jnp.zeros((), I32)))
     return pairs, unsent.reshape(1)
 
 
@@ -529,12 +559,49 @@ class ShardedPipeline:
         pad = cfgf.batch_reads - len(m1)
         b1, l1 = pack_reads(m1 + [""] * pad, cfgf.max_read_length)
         b2, l2 = pack_reads(m2 + [""] * pad, cfgf.max_read_length)
+        self._scan_pair_packed(b1, l1, b2, l2)
+
+    def _scan_pair_packed(self, b1, l1, b2, l2):
         jm1, chi1, clo1 = self.scan_batch(b1, l1)
         jm2, chi2, clo2 = self.scan_batch(b2, l2)
         self.pairs, unsent = self.stream.pairs(
             self.pairs, jm1, chi1, clo1, jm2, chi2, clo2)
         self.metrics.add("pair_batches", 1)
         self.metrics.add("route_dropped", int(fetch(unsent).sum()))
+
+    def scan_paired_batches(self, batches):
+        """Paired scan over PACKED interleaved batches (native C++
+        reader path): mates are the alternating rows of each batch."""
+        m = self.metrics
+        m.start("scan")
+        for bases, lens in batches:
+            self._scan_pair_packed(bases[0::2], lens[0::2],
+                                   bases[1::2], lens[1::2])
+        jax.block_until_ready(self.junctions)
+        m.stop("scan")
+
+    def run_streaming_batches(self, batches):
+        """Single-pass stream over PACKED batches (native reader path);
+        paired mates ride the alternating rows."""
+        m = self.metrics
+        m.start("stream")
+        for bases, lens in batches:
+            if self.cfg.paired_ends:
+                b1, l1 = bases[0::2], lens[0::2]
+                b2, l2 = bases[1::2], lens[1::2]
+                self.load_batch(b1, l1)
+                self.load_batch(b2, l2)
+                self._scan_pair_packed(b1, l1, b2, l2)
+            else:
+                self.load_batch(bases, lens)
+                self.scan_batch(bases, lens)
+        jax.block_until_ready(self.junctions)
+        m.stop("stream")
+        g = self.build()
+        g = self.clean_graph(g)
+        self.metrics.add("contigs", len(g.live()))
+        self.metrics.emit("assembly_done", stats=g.stats())
+        return g
 
     def pair_counts(self):
         from faucet_tpu.graph.build import extract_table

@@ -198,12 +198,14 @@ class GraphBuilder:
             self.codec_j = self.codec_s = _NarrowCodec(cfg)
         self._jitted = {}
 
-    def _walk_fn(self, codec):
-        fn = codec.walk_round()
-        if fn not in self._jitted:
-            self._jitted[fn] = jax.jit(
-                fn, static_argnames=("n_steps", "cfg"))
-        return self._jitted[fn]
+    def _wave_fn(self, codec):
+        key = (codec.walk_round(), "waves")
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                W.walk_waves,
+                static_argnames=("n_rounds", "n_steps", "cfg",
+                                 "walk_fn", "resolve_fn"))
+        return self._jitted[key]
 
     # ---- device walk driver --------------------------------------------
     def _run_walks(self, codec, payload, dirs, forced, circle_ok):
@@ -222,31 +224,31 @@ class GraphBuilder:
         active[:n] = True
         fr = codec.make_frontier(payload, dirs, forced, active,
                                  circle_ok, pad)
-        runner = self._walk_fn(codec)
-        resolve = codec.resolver()
-        rkey = (resolve, "resolve")
-        if rkey not in self._jitted:
-            self._jitted[rkey] = jax.jit(resolve,
-                                         static_argnames=("cfg",))
-        resolve = self._jitted[rkey]
-        strips = []  # device arrays; fetched once after the loop (the
-        # per-round fetch was one extra host sync per round — the
-        # convergence scalar below already syncs, and strips are only
-        # consumed after termination)
+        waves = self._wave_fn(codec)
+        # per-lane live bases, compressed per wave call: device AND host
+        # strip memory stay bounded at [Wp, rounds*steps] per call while
+        # the total held is just the walked bases (ADVICE r2 #3)
+        parts: List[List[np.ndarray]] = [[] for _ in range(Wp)]
         total = 0
+        R = max(1, cfg.walk_rounds_per_call)
         while total < cfg.max_contig_len:
-            fr, bases = runner(self.cascade, self.junctions, fr,
-                               n_steps=cfg.walk_round_steps, cfg=cfg)
-            strips.append(bases)
-            total += cfg.walk_round_steps
-            # re-arm walks retired on Bloom-fp branches (lookahead)
-            fr = resolve(self.cascade, fr, cfg=cfg)
+            fr, bases = waves(self.cascade, self.junctions, fr,
+                              n_rounds=R, n_steps=cfg.walk_round_steps,
+                              cfg=cfg, walk_fn=codec.walk_round(),
+                              resolve_fn=codec.resolver())
+            b = fetch(bases)
+            mask = b != 255
+            counts = mask.sum(axis=1)
+            segs = np.split(b[mask], np.cumsum(counts)[:-1])
+            for i in np.nonzero(counts)[0]:
+                parts[i].append(segs[i])
+            total += R * cfg.walk_round_steps
             if not bool(fetch(jnp.any(fr.active))):
                 break
-        allb = np.concatenate([fetch(b) for b in strips], axis=1) \
-            if strips else np.zeros((Wp, 0), np.uint8)
+        empty = np.empty(0, np.uint8)
         out = {
-            "bases": allb[:n],
+            "bases": [np.concatenate(p) if p else empty
+                      for p in parts[:n]],
             "end_kind": fetch(fr.end_kind)[:n],
             "entry_slot": fetch(fr.entry_slot)[:n],
             "steps": fetch(fr.steps)[:n],
@@ -256,10 +258,9 @@ class GraphBuilder:
 
     # ---- contig assembly -------------------------------------------------
     def _strip_to_str(self, row: np.ndarray, steps: int) -> str:
-        # lanes re-armed after an fp-branch retirement have idle (255)
-        # gaps mid-row: filter first, then bound by the advance count
-        live = row[row != 255]
-        return "".join(_CODEBOOK[b] for b in live[:steps])
+        # rows arrive pre-compressed (255 idle gaps already filtered by
+        # the wave driver); bound by the advance count
+        return "".join(_CODEBOOK[b] for b in row[:steps])
 
     def build(self) -> ContigGraph:
         cfg = self.cfg
@@ -337,6 +338,16 @@ class GraphBuilder:
                 chunks[:] = [np.sort(np.concatenate(chunks))]
             live = ~visited_mask(skeys_s[pend])
             pend = pend[live]
+            if len(pend) and not cfg.wide:
+                # seeds one base OFF walked territory (error/fp anchor
+                # k-mers) walk straight back onto it and produce the
+                # duplicates the >50%-visited check drops post-walk;
+                # skip the wasted walks by testing the 8 neighbors
+                from faucet_tpu.core.kmer import neighbor_keys_np
+
+                nbr = neighbor_keys_np(skeys_s[pend], k)
+                hit = visited_mask(nbr.ravel()).reshape(nbr.shape)
+                pend = pend[~hit.any(axis=1)]
             batch = pend[:chunk].tolist()
             pend = pend[chunk:]
             if not batch:

@@ -108,3 +108,59 @@ def test_device_pairs_match_refimpl_and_phase(phased_case):
     g = p.clean_graph(g)
     hit_t, hit_w = _check_phasing(g, truths, wrongs)
     assert hit_t == 2 and hit_w == 0
+
+
+def test_capture_pairs_lossless_above_chunk():
+    """Junction-dense mates (> J_CHUNK distinct junctions per row) must
+    lose NO pairs (VERDICT r2 weak #5: the old version silently kept only
+    the first 32 per mate)."""
+    import jax.numpy as jnp
+
+    from faucet_tpu.core import scan as SC
+    from faucet_tpu.core import table as T
+    from faucet_tpu.core.hashing import pair_key_np
+    from faucet_tpu.graph.build import extract_table
+
+    rng = np.random.default_rng(7)
+    B, P = 3, 120
+    nj = SC.J_CHUNK + 19  # 51 distinct junctions per row, with repeats
+
+    def mk():
+        codes = rng.integers(1, 1 << 30, size=(B, P)).astype(np.uint64)
+        jm = np.zeros((B, P), bool)
+        for r in range(B):
+            pos = rng.choice(P, size=nj + 10, replace=False)
+            jm[r, pos] = True
+            # duplicate some junction codes within the row (dedup path)
+            codes[r, pos[nj:]] = codes[r, pos[:10]]
+        return (jm, (codes >> np.uint64(32)).astype(np.uint32),
+                (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    jm1, hi1, lo1 = mk()
+    jm2, hi2, lo2 = mk()
+    mkres = lambda jm, hi, lo: SC.ScanResult(
+        None, None, None, None, jnp.asarray(jm), jnp.asarray(hi),
+        jnp.asarray(lo))
+    pairs = T.make(1 << 15, (((), jnp.int32),))
+    pairs = SC.capture_pairs(pairs, mkres(jm1, hi1, lo1),
+                             mkres(jm2, hi2, lo2))
+
+    want = {}
+    for r in range(B):
+        aset = {(int(h) << 32) | int(l)
+                for h, l in zip(hi1[r][jm1[r]], lo1[r][jm1[r]])}
+        bset = {(int(h) << 32) | int(l)
+                for h, l in zip(hi2[r][jm2[r]], lo2[r][jm2[r]])}
+        assert len(aset) == nj and len(bset) == nj
+        for a in aset:
+            for b in bset:
+                kh, kl = pair_key_np(
+                    np.uint32(a >> 32), np.uint32(a & 0xFFFFFFFF),
+                    np.uint32(b >> 32), np.uint32(b & 0xFFFFFFFF))
+                key = (int(kh) << 32) | int(kl)
+                want[key] = want.get(key, 0) + 1
+    t = extract_table(pairs)
+    got = {(int(h) << 32) | int(l): int(c)
+           for h, l, c in zip(t["hi"], t["lo"], t["v0"])}
+    assert got == want
+    assert sum(got.values()) == B * nj * nj  # nothing dropped
