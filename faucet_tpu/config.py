@@ -74,6 +74,10 @@ class Config:
     #   memory at [W, rounds*steps] u8 while cutting host syncs 8x
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
     min_contig_cov: float = 2.5            # clean: drop contigs below this cov
+    distributed_clean: bool = False        # sharded pipelines: clean the
+    #   graph with the halo-exchange partitioned cleaner (dist/halo.py)
+    #   instead of the single-host passes — contig-set-identical
+    #   (tests/dist/test_halo.py), O(cut) boundary traffic per round
     prune_slot_cov: int = 0                # device pre-clean: zero junction
     #   slots below this cov BEFORE walking (shard-local pass over the
     #   hash-range-owned table; the distributed analog of low-cov contig

@@ -143,7 +143,10 @@ def upsert_rounds(mask, K: int, payloads, fn, state, sync=None):
     if sync is not None:
         rounds = sync(rounds)
 
-    if BL._use_pallas():
+    import os as _os
+
+    if BL._use_pallas() and _os.environ.get("FAUCET_COMPACT",
+                                            "kernel") == "kernel":
         from faucet_tpu.kernels.compact import mask_indices
 
         def body(r, carry):

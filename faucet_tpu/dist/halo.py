@@ -1,0 +1,449 @@
+"""Halo-exchange distributed graph cleaning (SURVEY.md §5 "long-context
+analog", §7.1.4; PARITY.md §config5 item 3; reference analogue: the
+cleaning fixpoint of ref:src/ContigGraph.cpp run on a graph too large
+for one host).
+
+Contigs are partitioned across shards by the hash of an end node; each
+round every shard runs the SAME delete/collapse rules as the host
+`graph/clean.py` passes on its owned contigs only, and cross-shard
+effects ride fixed-width numeric control messages exchanged through ONE
+`lax.all_to_all` per sub-step (the mesh collective plane — the same
+fixed-capacity discipline as dist/route.py; bytes are counted). Rules
+that need a node's global view (the per-anchor tip keep-last rule, port
+counts, 1-in/1-out collapse detection) are arbitrated by the NODE's
+owner shard, which holds the authoritative port registry for its hash
+range — degrees therefore never need broadcasting; only O(cut) boundary
+updates move. Contig sequence payloads for cross-shard merges move on
+the host object plane (stand-in for the DCN transfer; bytes counted).
+
+Global fixpoint: per-round change counters are max-reduced across shards
+(the pmax of the design note); rounds repeat until no shard changed.
+
+Equivalence to the sequential clean(): contig SEQUENCES and topology are
+identical (tests/dist/test_halo.py); contig cov can differ by <1% because
+merge_through's pairwise weighted mean re-counts the shared node window
+per merge, so it is not associative across merge orders — a property of
+the sequential code, not of the partitioning.
+
+Protocol per round (mirrors clean()'s delete-then-collapse order):
+  1. local: low-cov + short-isolated kills (purely contig-local rules)
+  2. TIP_CAND   -> node owner     (anchor arbitration, keep-last rule)
+  3. KILL       -> contig owner   (tip verdicts; apply all kills)
+  4. PORT_DEL   -> node owner     (registry deltas from removed contigs)
+  5. node owner: detect 2-port opposite-face nodes -> MERGE orders to
+     both contig owners (per-contig conflict resolution: a contig joins
+     at most one merge per round, smallest node-hash proposal wins —
+     chains collapse over multiple rounds to the same fixpoint)
+  6. PORT_MOVE  -> node owner     (merged contig re-registers its far
+     ends, replacing the absorbed contigs' entries)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from faucet_tpu.core.hashing import hash_pair_np
+from faucet_tpu.core.kmer import encode_windows_np, revcomp_seq
+from faucet_tpu.graph.model import Contig, ContigGraph, End
+
+_GID_SHIFT = 40  # gid = (owner_shard << 40) | local_serial
+
+
+def _node_code(node: str, k: int) -> int:
+    return int(encode_windows_np(node, k)[0])
+
+
+def _owner_of_code(code: int, n_shards: int) -> int:
+    h, _ = hash_pair_np(np.uint32(code >> 32),
+                        np.uint32(code & 0xFFFFFFFF))
+    return int(h) >> (32 - (n_shards - 1).bit_length()) if n_shards > 1 \
+        else 0
+
+
+class Exchange:
+    """Fixed-width numeric message exchange over the mesh's all_to_all.
+
+    Messages are uint32[W] rows grouped by destination shard; one
+    `exchange()` call = one collective. Without a mesh (pure-host unit
+    tests) the transpose happens in numpy with identical semantics."""
+
+    W = 8
+
+    def __init__(self, n_shards: int, mesh=None):
+        self.n = n_shards
+        self.mesh = mesh
+        self.bytes = 0
+        self.rounds = 0
+        self._fn = None
+        self._cap = -1
+
+    def _device_a2a(self, buf: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faucet_tpu.dist.mesh import AXIS
+
+        if self._fn is None or self._cap != buf.shape[2]:
+            from jax import shard_map
+
+            mesh = self.mesh
+            self._cap = buf.shape[2]
+
+            @jax.jit
+            def fn(x):
+                def body(xs):  # xs: [1, n_dst, cap, W] on each shard
+                    return jax.lax.all_to_all(xs, AXIS, split_axis=1,
+                                              concat_axis=0, tiled=False)
+
+                return shard_map(body, mesh=mesh,
+                                 in_specs=P(AXIS),
+                                 out_specs=P(AXIS))(x)
+
+            self._fn = fn
+        n, cap, W = self.n, buf.shape[2], buf.shape[3]
+        # per-shard result is [n_src, 1, cap, W] (device d's row j = the
+        # chunk src j addressed to d); stacking over shards gives
+        # [n*n, 1, ...] with index d*n + j -> reshape to [dst, src, ...]
+        out = np.asarray(self._fn(jnp.asarray(buf)))
+        return out.reshape(n, n, cap, W)
+
+    def exchange(self, outbox: List[List[List[Tuple[int, ...]]]]
+                 ) -> List[List[List[Tuple[int, ...]]]]:
+        """outbox[src][dst] = list of tuples (<= W uint32 fields).
+        Returns inbox[dst][src] with the same rows."""
+        n, W = self.n, self.W
+        cap = max([1] + [len(outbox[s][d]) for s in range(n)
+                         for d in range(n)])
+        buf = np.zeros((n, n, cap, W), np.uint32)
+        cnt = np.zeros((n, n), np.int32)
+        for s in range(n):
+            for d in range(n):
+                rows = outbox[s][d]
+                cnt[s, d] = len(rows)
+                for i, r in enumerate(rows):
+                    for j, v in enumerate(r):
+                        buf[s, d, i, j] = np.uint32(v & 0xFFFFFFFF)
+        self.rounds += 1
+        self.bytes += int(buf.nbytes + cnt.nbytes)
+        if self.mesh is not None:
+            recv = self._device_a2a(buf)         # [dst][src][cap][W]
+        else:
+            recv = buf.transpose(1, 0, 2, 3)
+        rcnt = cnt.T
+        inbox = [[[tuple(int(x) for x in recv[d, s, i])
+                   for i in range(rcnt[d, s])]
+                  for s in range(n)] for d in range(n)]
+        return inbox
+
+
+def _u64(hi32_lo32: Tuple[int, int]) -> int:
+    return (hi32_lo32[0] << 32) | hi32_lo32[1]
+
+
+def _split64(v: int) -> Tuple[int, int]:
+    return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
+
+
+@dataclasses.dataclass
+class _Shard:
+    contigs: Dict[int, Contig]
+    # authoritative registry for nodes this shard OWNS:
+    #   node code -> slot -> (gid, 'L'|'R')
+    ports: Dict[int, Dict[int, Tuple[int, str]]]
+    serial: int = 0
+
+
+class PartitionedCleaner:
+    """8-shard (or any pow2) partitioned clean() with halo exchange.
+
+    Produces the same cleaned contig set as graph/clean.clean() with
+    pair_count=None (tips + low-cov + isolated + collapse to fixpoint);
+    differential-tested in tests/dist/test_halo.py."""
+
+    def __init__(self, g: ContigGraph, n_shards: int, mesh=None):
+        self.k = g.k
+        self.n = n_shards
+        self.ex = Exchange(n_shards, mesh)
+        self.payload_bytes = 0
+        self.shards = [_Shard({}, {}) for _ in range(n_shards)]
+        self._mailbox: Dict[int, Contig] = {}  # host object plane
+        for i in g.live():
+            c = g.contigs[i]
+            self._add_contig(self._contig_owner(c), c)
+
+    # ---- ownership -------------------------------------------------------
+    def _contig_owner(self, c: Contig) -> int:
+        e = c.left or c.right
+        if e is not None:
+            return _owner_of_code(_node_code(e.node, self.k), self.n)
+        return _owner_of_code(_node_code(
+            min(c.seq[: self.k], revcomp_seq(c.seq)[: self.k]), self.k),
+            self.n)
+
+    def _new_gid(self, shard: int) -> int:
+        s = self.shards[shard]
+        gid = (shard << _GID_SHIFT) | s.serial
+        s.serial += 1
+        return gid
+
+    def _add_contig(self, shard: int, c: Contig) -> int:
+        gid = self._new_gid(shard)
+        self.shards[shard].contigs[gid] = c
+        # register ports at each end node's OWNER shard (direct insert:
+        # partition setup is a bulk load, not a per-round halo message)
+        for e, end in ((c.left, "L"), (c.right, "R")):
+            if e is None:
+                continue
+            code = _node_code(e.node, self.k)
+            own = _owner_of_code(code, self.n)
+            self.shards[own].ports.setdefault(code, {})[e.slot] = (gid,
+                                                                   end)
+        return gid
+
+    def _drop_ports_msgs(self, gid: int, c: Contig, out):
+        src = gid >> _GID_SHIFT
+        for e in (c.left, c.right):
+            if e is None:
+                continue
+            code = _node_code(e.node, self.k)
+            own = _owner_of_code(code, self.n)
+            hi, lo = _split64(code)
+            out[src][own].append((3, hi, lo, e.slot, gid >> 32,
+                                  gid & 0xFFFFFFFF))
+
+    # ---- the round -------------------------------------------------------
+    def _empty_out(self):
+        return [[[] for _ in range(self.n)] for _ in range(self.n)]
+
+    def round(self, max_tip_len: int, min_cov: float, do_tips: bool,
+              do_low_cov: bool) -> int:
+        n, k = self.n, self.k
+        changed = 0
+
+        # -- 1/2: local kills + tip candidates to node owners ------------
+        out = self._empty_out()
+        local_kill: List[Dict[int, bool]] = [dict() for _ in range(n)]
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                if c.circular:
+                    continue
+                has_l, has_r = c.left is not None, c.right is not None
+                if do_low_cov and has_l and has_r and c.cov < min_cov:
+                    local_kill[s][gid] = True
+                elif (do_low_cov and not has_l and not has_r
+                      and len(c.seq) < 3 * k and c.cov < min_cov):
+                    local_kill[s][gid] = True
+                elif do_tips and (has_l ^ has_r) \
+                        and len(c.seq) < max_tip_len:
+                    e = c.left if has_l else c.right
+                    code = _node_code(e.node, k)
+                    own = _owner_of_code(code, n)
+                    hi, lo = _split64(code)
+                    out[s][own].append((1, hi, lo, gid >> 32,
+                                        gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+
+        # -- 2/3: anchor arbitration (keep-last rule) -> kill verdicts ---
+        out = self._empty_out()
+        for d in range(n):
+            by_node: Dict[int, List[int]] = {}
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, g1, g2 = m[:5]
+                    by_node.setdefault(_u64((hi, lo)), []).append(
+                        _u64((g1, g2)))
+            for code, gids in by_node.items():
+                total = len(self.shards[d].ports.get(code, {}))
+                others = total - len(gids)
+                gids.sort()
+                kill = gids if others >= 1 else gids[:-1]
+                for gid in kill:
+                    own = gid >> _GID_SHIFT
+                    out[d][own].append((2, gid >> 32, gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+
+        # -- 3/4: apply kills; port deletions to node owners -------------
+        out = self._empty_out()
+        for s in range(n):
+            kills = dict(local_kill[s])
+            for src in range(n):
+                for m in inbox[s][src]:
+                    kills[_u64((m[1], m[2]))] = True
+            for gid in kills:
+                c = self.shards[s].contigs.pop(gid)
+                self._drop_ports_msgs(gid, c, out)
+                changed += 1
+        inbox = self.ex.exchange(out)
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2 = m[:6]
+                    code = _u64((hi, lo))
+                    dslot = self.shards[d].ports.get(code)
+                    if dslot and dslot.get(slot, (None,))[0] == \
+                            _u64((g1, g2)):
+                        del dslot[slot]
+                        if not dslot:
+                            del self.shards[d].ports[code]
+
+        changed += self._collapse_round()
+        return changed
+
+    # ---- collapse with per-contig conflict resolution -------------------
+    def _collapse_round(self) -> int:
+        n, k = self.n, self.k
+        # node owners propose merges for 2-port opposite-face nodes
+        proposals = []  # (node_owner, code, (rslot, gid_r, end_r),
+        #                 (lslot, gid_l, end_l))
+        for d in range(n):
+            for code, dslot in self.shards[d].ports.items():
+                if len(dslot) != 2:
+                    continue
+                slots = sorted(dslot)
+                if not (slots[0] < 4 <= slots[1]):
+                    continue
+                (g1, e1) = dslot[slots[0]]
+                (g2, e2) = dslot[slots[1]]
+                proposals.append((d, code, (slots[0], g1, e1),
+                                  (slots[1], g2, e2)))
+        # conflict resolution: a contig joins at most one merge per
+        # round; the proposal with the smallest (hash-ordered) node code
+        # wins. Deterministic and shard-independent: every proposer
+        # knows both gids, so the winner can be computed globally from
+        # the proposal list each shard already has locally... but shards
+        # only see their OWN proposals — route each proposal to both
+        # contigs' owners, owners pick the minimum-code proposal per
+        # contig, and a proposal proceeds iff it won at BOTH contigs.
+        out = self._empty_out()
+        for (d, code, (rs, gr, er), (ls, gl, el)) in proposals:
+            hi, lo = _split64(code)
+            for gid in {gr, gl}:
+                own = gid >> _GID_SHIFT
+                out[d][own].append((4, hi, lo, d, rs, gr >> 32,
+                                    gr & 0xFFFFFFFF))
+                # W=8 limit: second contig rides a paired row
+                out[d][own].append((5, hi, lo, d, ls, gl >> 32,
+                                    gl & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+        # contig owners: pick min-code proposal per contig
+        best: Dict[int, int] = {}   # gid -> chosen node code
+        props: Dict[int, Tuple] = {}  # code -> full proposal
+        for d in range(n):
+            rows = [m for src in range(n) for m in inbox[d][src]]
+            cur: Dict[int, list] = {}
+            for m in rows:
+                tag, hi, lo, owner, slot, g1, g2 = m[:7]
+                code = _u64((hi, lo))
+                cur.setdefault(code, [None, None, None])[0 if tag == 4
+                                                         else 1] = \
+                    (slot, _u64((g1, g2)))
+                cur[code][2] = owner
+            for code, (r, l, owner) in cur.items():
+                if r is None or l is None:
+                    continue
+                props[code] = (owner, code, r, l)
+                for gid in {r[1], l[1]}:
+                    if gid >> _GID_SHIFT != d:
+                        continue
+                    if gid not in self.shards[d].contigs:
+                        continue
+                    if gid not in best or code < best[gid]:
+                        best[gid] = code
+        # acceptance: proposal proceeds iff it is the winner at every
+        # involved contig (computed host-globally here — the per-shard
+        # votes are already consistent because `best` is per-contig)
+        done = 0
+        for code, (owner, _, (rs, gr), (ls, gl)) in sorted(props.items()):
+            if best.get(gr) != code or best.get(gl) != code:
+                continue
+            if self._merge(owner, code, rs, gr, ls, gl):
+                done += 1
+        return done
+
+    def _take_contig(self, gid: int, to_shard: int) -> Contig:
+        src = gid >> _GID_SHIFT
+        c = self.shards[src].contigs.pop(gid)
+        if src != to_shard:
+            self.payload_bytes += len(c.seq) + 64
+        return c
+
+    def _merge(self, node_owner: int, code: int, rslot: int, gid_r: int,
+               lslot: int, gid_l: int) -> bool:
+        """Replicates ContigGraph.merge_through on partitioned state.
+        The merged contig lands on the node owner's shard (it arbitrated
+        the merge); its far-end ports re-register at their owners."""
+        k = self.k
+        dslot = self.shards[node_owner].ports.get(code)
+        if not dslot or rslot not in dslot or lslot not in dslot:
+            return False
+        (g1, e1) = dslot[rslot]
+        (g2, e2) = dslot[lslot]
+        assert g1 == gid_r and g2 == gid_l
+        if gid_r == gid_l:
+            c = self._take_contig(gid_r, node_owner)
+            right_part = c.seq if e1 == "L" else revcomp_seq(c.seq)
+            del self.shards[node_owner].ports[code]
+            merged = Contig(seq=right_part[:-k], cov=c.cov, circular=True)
+            self.shards[node_owner].contigs[
+                self._new_gid(node_owner)] = merged
+            return True
+        c1 = self._take_contig(gid_r, node_owner)
+        c2 = self._take_contig(gid_l, node_owner)
+        right_seq = c1.seq if e1 == "L" else revcomp_seq(c1.seq)
+        right_far = c1.right if e1 == "L" else c1.left
+        left_seq = c2.seq if e2 == "R" else revcomp_seq(c2.seq)
+        left_far = c2.left if e2 == "R" else c2.right
+        n1 = len(c1.seq) - k + 1
+        n2 = len(c2.seq) - k + 1
+        cov = (c1.cov * n1 + c2.cov * n2) / max(n1 + n2, 1)
+        merged = Contig(seq=left_seq + right_seq[k:], cov=cov,
+                        left=left_far, right=right_far)
+        del self.shards[node_owner].ports[code]
+        gid = self._new_gid(node_owner)
+        self.shards[node_owner].contigs[gid] = merged
+        # far-end ports move from the absorbed contigs to the merged one
+        out = self._empty_out()
+        for e, end, old_gid in ((left_far, "L", gid_l),
+                                (right_far, "R", gid_r)):
+            if e is None:
+                continue
+            fcode = _node_code(e.node, k)
+            fown = _owner_of_code(fcode, self.n)
+            hi, lo = _split64(fcode)
+            out[node_owner][fown].append((6, hi, lo, e.slot, gid >> 32,
+                                          gid & 0xFFFFFFFF, end == "L"))
+        inbox = self.ex.exchange(out)
+        for d in range(self.n):
+            for src in range(self.n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2, is_l = m[:7]
+                    fcode = _u64((hi, lo))
+                    self.shards[d].ports.setdefault(fcode, {})[slot] = (
+                        _u64((g1, g2)), "L" if is_l else "R")
+        return True
+
+    # ---- driver ----------------------------------------------------------
+    def clean(self, max_tip_len: int = 200, min_cov: float = 2.5,
+              do_tips: bool = True, do_low_cov: bool = True,
+              max_rounds: int = 64) -> dict:
+        rounds = 0
+        for _ in range(max_rounds):
+            ch = self.round(max_tip_len, min_cov, do_tips, do_low_cov)
+            rounds += 1
+            # global fixpoint: `ch` is already the cross-shard total
+            # (the host loop IS the pmax here — every shard contributed)
+            if ch == 0:
+                break
+        return {"rounds": rounds, "exchanges": self.ex.rounds,
+                "collective_bytes": self.ex.bytes,
+                "payload_bytes": self.payload_bytes}
+
+    def result(self) -> ContigGraph:
+        g = ContigGraph(self.k)
+        for s in self.shards:
+            for c in s.contigs.values():
+                g.add_contig(c)
+        return g
