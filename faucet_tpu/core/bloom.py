@@ -269,10 +269,14 @@ def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
         # was tried twice in round 1 (word-skip: 2.4x slower; compaction:
         # neutral) — the two-phase kernel makes the insert path nearly
         # probe-speed, so a prefilter pass no longer pays for itself.
+        import os as _os
+
         aw, bw, new_b = cascade_insert_fused(
             c.a_bloom.words, c.b_bloom.words, block_a, block_b, h1r, h2,
             cfg.n_hash_a, cfg.n_hash_b,
-            live=(mask if sparse else None), sparse=sparse)
+            live=(mask if sparse else None), sparse=sparse,
+            cond_store=_os.environ.get("FAUCET_CASCADE_CONDSTORE",
+                                       "0") == "1")
         return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b
     skhi, sklo, counts, rep, sidx = _batch_counts(khi, klo, mask)
     if cfg.exact:

@@ -69,7 +69,7 @@ class Exchange:
     `exchange()` call = one collective. Without a mesh (pure-host unit
     tests) the transpose happens in numpy with identical semantics."""
 
-    W = 8
+    W = 10
 
     def __init__(self, n_shards: int, mesh=None):
         self.n = n_shards
@@ -219,7 +219,7 @@ class PartitionedCleaner:
         return [[[] for _ in range(self.n)] for _ in range(self.n)]
 
     def round(self, max_tip_len: int, min_cov: float, do_tips: bool,
-              do_low_cov: bool) -> int:
+              do_low_cov: bool, bubble_ratio: float = 0.25) -> int:
         n, k = self.n, self.k
         changed = 0
 
@@ -289,8 +289,76 @@ class PartitionedCleaner:
                         if not dslot:
                             del self.shards[d].ports[code]
 
+        if do_low_cov and bubble_ratio > 0:
+            changed += self._bubble_round(bubble_ratio)
         changed += self._collapse_round()
         return changed
+
+    def _bubble_round(self, ratio: float) -> int:
+        """Relative-coverage bubble popping, partitioned: each JJ contig
+        reports (node-pair, cov) to the pair's arbiter shard (owner of
+        the smaller node code); the arbiter applies clean.pop_bubbles'
+        rule and returns kill verdicts. cov rides as a float64 bit
+        pattern, so thresholds match the sequential pass exactly."""
+        import struct
+
+        n, k = self.n, self.k
+        out = self._empty_out()
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                if c.circular or c.left is None or c.right is None:
+                    continue
+                ca = _node_code(min(c.left.node, c.right.node), k)
+                cb = _node_code(max(c.left.node, c.right.node), k)
+                arb = _owner_of_code(min(ca, cb), n)
+                ha, la = _split64(ca)
+                hb, lb = _split64(cb)
+                cv = struct.unpack("<II", struct.pack("<d", c.cov))
+                out[s][arb].append((7, ha, la, hb, lb, cv[0], cv[1],
+                                    gid >> 32, gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+        out = self._empty_out()
+        for d in range(n):
+            groups: Dict[Tuple[int, int], List[Tuple[float, int]]] = {}
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, ha, la, hb, lb, c0, c1, g1, g2 = m[:9]
+                    cov = struct.unpack("<d", struct.pack("<II", c0,
+                                                          c1))[0]
+                    groups.setdefault((_u64((ha, la)), _u64((hb, lb))),
+                                      []).append((cov, _u64((g1, g2))))
+            for arms in groups.values():
+                if len(arms) < 2:
+                    continue
+                top = max(c for c, _ in arms)
+                for cov, gid in arms:
+                    if cov <= ratio * top:
+                        own = gid >> _GID_SHIFT
+                        out[d][own].append((2, gid >> 32,
+                                            gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+        out = self._empty_out()
+        killed = 0
+        for s in range(n):
+            gids = {_u64((m[1], m[2])) for src in range(n)
+                    for m in inbox[s][src]}
+            for gid in gids:
+                c = self.shards[s].contigs.pop(gid)
+                self._drop_ports_msgs(gid, c, out)
+                killed += 1
+        inbox = self.ex.exchange(out)
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2 = m[:6]
+                    code = _u64((hi, lo))
+                    dslot = self.shards[d].ports.get(code)
+                    if dslot and dslot.get(slot, (None,))[0] == \
+                            _u64((g1, g2)):
+                        del dslot[slot]
+                        if not dslot:
+                            del self.shards[d].ports[code]
+        return killed
 
     # ---- collapse with per-contig conflict resolution -------------------
     def _collapse_round(self) -> int:
@@ -428,10 +496,11 @@ class PartitionedCleaner:
     # ---- driver ----------------------------------------------------------
     def clean(self, max_tip_len: int = 200, min_cov: float = 2.5,
               do_tips: bool = True, do_low_cov: bool = True,
-              max_rounds: int = 64) -> dict:
+              max_rounds: int = 64, bubble_ratio: float = 0.25) -> dict:
         rounds = 0
         for _ in range(max_rounds):
-            ch = self.round(max_tip_len, min_cov, do_tips, do_low_cov)
+            ch = self.round(max_tip_len, min_cov, do_tips, do_low_cov,
+                            bubble_ratio)
             rounds += 1
             # global fixpoint: `ch` is already the cross-shard total
             # (the host loop IS the pmax here — every shard contributed)

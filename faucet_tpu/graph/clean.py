@@ -128,6 +128,158 @@ def _delete_round(g: ContigGraph, max_tip_len: int, min_cov: float,
     return n_tips, int(lc_kill.sum()), int(iso_kill.sum())
 
 
+def resolve_port_clashes(g: ContigGraph) -> int:
+    """Repair walks that merged in sequence space: when >=2 contigs claim
+    the SAME (node, slot) port, they share their entire tail (same last
+    k+1 bases, by the port definition), which means a junction at their
+    divergence point went unrecorded (a B false positive shadowed the
+    edge's new_b promotion — core/nodes.py docstring). Registration is
+    last-writer-wins, so the clash silently orphans one contig and blocks
+    collapse.
+
+    Surgery: orient all claimants clash-end-right, find their longest
+    common suffix S, and rebuild the missing junction X* = first window
+    of S — one tail contig S (cov = claimants' sum) plus one arm per
+    claimant, each re-attached to X* via its own divergent entry base.
+    Error bubbles then become short parallel arms that pop_bubbles
+    removes; genuine repeat convergences keep both arms and a correct
+    junction. Runs to fixpoint (arms can still clash pairwise when >2
+    claimants share divergence bases)."""
+    from faucet_tpu.core.kmer import revcomp_seq
+    from faucet_tpu.core.slots import entry_slot, exit_slot
+    from faucet_tpu.graph.model import Contig, End
+
+    k = g.k
+    fixed = 0
+    _B = {"A": 0, "C": 1, "G": 2, "T": 3}
+    while True:
+        claim = {}
+        for i in g.live():
+            c = g.contigs[i]
+            if c.circular:
+                continue
+            for e, end in ((c.left, "L"), (c.right, "R")):
+                if e is not None:
+                    claim.setdefault((e.node, e.slot), []).append((i, end))
+        progressed = False
+        for (node, slot), lst in claim.items():
+            lst = [(i, end) for (i, end) in lst
+                   if not g.contigs[i].deleted]
+            if len(lst) < 2:
+                continue
+            oriented = []
+            for i, end in lst:
+                c = g.contigs[i]
+                if end == "R":
+                    oriented.append((i, c.seq, c.left))
+                else:
+                    oriented.append((i, revcomp_seq(c.seq), c.right))
+            minlen = min(len(s) for _, s, _ in oriented)
+            s0 = oriented[0][1]
+            L = minlen
+            for _, s, _ in oriented[1:]:
+                m = 0
+                while m < L and s0[-1 - m] == s[-1 - m]:
+                    m += 1
+                L = min(L, m)
+            if L >= minlen or L < k + 1:
+                # containment: the shortest claimant IS a piece of the
+                # shared tail (a walk over the same edge that died early
+                # — trim/ambiguity) — drop it, keep the longer walks.
+                # Degenerate (< k+1 overlap) clashes take the same path.
+                shortest = min(oriented,
+                               key=lambda t: (len(t[1]),
+                                              g.contigs[t[0]].cov, t[1]))
+                g.remove_contig(shortest[0])
+                fixed += 1
+                progressed = True
+                continue
+            S = s0[-L:]
+            W = S[:k]
+            Xs = min(W, revcomp_seq(W))
+            w_canon = W == Xs
+            covT = sum(g.contigs[i].cov for i, _, _ in oriented)
+            tail = Contig(seq=S, cov=covT,
+                          left=End(Xs, exit_slot(w_canon, _B[S[k]])),
+                          right=End(node, slot))
+            arms = []
+            for i, s, far in oriented:
+                es = entry_slot(w_canon, _B[s[len(s) - L - 1]])
+                arms.append(Contig(seq=s[: len(s) - L + k],
+                                   cov=g.contigs[i].cov, left=far,
+                                   right=End(Xs, es)))
+            for i, _, _ in oriented:
+                g.remove_contig(i)
+            for a in arms:
+                g.add_contig(a)
+            g.add_contig(tail)
+            fixed += 1
+            progressed = True
+        if not progressed:
+            break
+    return fixed
+
+
+EQLEN_RATIO = 0.8  # pop threshold for equal-length parallel arms
+
+
+def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
+    """Delete low-coverage parallel arms: when >=2 contigs connect the
+    SAME pair of junction nodes, arms at <= ratio x the strongest arm's
+    coverage are sequencing-error paths (a doubled error creates a
+    ~read-length bubble whose arm coverage tracks the error multiplicity
+    — often ABOVE the absolute min_cov floor at high depth, which is
+    exactly why an absolute threshold cannot remove it). SURVEY.md §A.7b
+    sanctions a relative chimera threshold; real parallel repeats keep
+    comparable coverage on both arms and are preserved.
+
+    EQUAL-LENGTH arms get a looser threshold (EQLEN_RATIO): when a
+    bubble's rejoin junction goes unrecorded (a B false positive at the
+    error k-mer's promotion shadows new_b — core/nodes.py docstring),
+    the two arms run parallel all the way to the NEXT junction with a
+    duplicated tail, and the weak arm's end-averaged coverage is
+    inflated by the shared tail's depth; identical arm length between
+    one node pair is the signature of that single-variant artifact.
+
+    Ports clashed by such duplicated tails (two arms entering the same
+    (node, slot); registration is last-writer-wins) are re-registered
+    for the surviving arms so collapse can proceed."""
+    arms = {}
+    for i in g.live():
+        c = g.contigs[i]
+        if c.circular or c.left is None or c.right is None:
+            continue
+        key = tuple(sorted((c.left.node, c.right.node)))
+        arms.setdefault(key, []).append(i)
+    removed = 0
+    for idxs in arms.values():
+        if len(idxs) < 2:
+            continue
+        cs = [g.contigs[i] for i in idxs]
+        top_i = max(range(len(idxs)),
+                    key=lambda j: (cs[j].cov, cs[j].canonical_seq()))
+        top = cs[top_i].cov
+        top_len = len(cs[top_i].seq)
+        survivors = []
+        for j, i in enumerate(idxs):
+            c = cs[j]
+            kill = j != top_i and (
+                c.cov <= ratio * top
+                or (len(c.seq) == top_len and c.cov <= EQLEN_RATIO * top))
+            if kill:
+                g.remove_contig(i)
+                removed += 1
+            else:
+                survivors.append(i)
+        if removed and len(survivors) >= 1:
+            for i in survivors:
+                c = g.contigs[i]
+                for e, end in ((c.left, "L"), (c.right, "R")):
+                    g.ports.setdefault(e.node, {}).setdefault(
+                        e.slot, (i, end))
+    return removed
+
+
 def collapse_all(g: ContigGraph) -> int:
     merged = 0
     for node in list(g.ports.keys()):
@@ -302,11 +454,11 @@ def _disentangle_chains(g: ContigGraph, pair_count, min_pairs: int,
 def clean(g: ContigGraph, max_tip_len: int = 200, min_cov: float = 2.0,
           do_tips: bool = True, do_low_cov: bool = True,
           pair_count=None, min_pairs: int = 2,
-          max_rounds: int = 64) -> dict:
+          max_rounds: int = 64, bubble_ratio: float = 0.25) -> dict:
     """Iterate passes to fixpoint; then disentangle once with paired-end
     evidence (if provided) and re-clean. Returns pass counters."""
-    stats = {"tips": 0, "low_cov": 0, "isolated": 0, "collapsed": 0,
-             "disentangled": 0, "rounds": 0}
+    stats = {"tips": 0, "low_cov": 0, "isolated": 0, "bubbles": 0,
+             "collapsed": 0, "disentangled": 0, "rounds": 0}
 
     def fixpoint():
         for _ in range(max_rounds):
@@ -315,10 +467,13 @@ def clean(g: ContigGraph, max_tip_len: int = 200, min_cov: float = 2.0,
             stats["tips"] += nt
             stats["low_cov"] += nl
             stats["isolated"] += ni
+            nb = pop_bubbles(g, bubble_ratio) if (
+                do_low_cov and bubble_ratio > 0) else 0
+            stats["bubbles"] += nb
             nc = collapse_all(g)
             stats["collapsed"] += nc
             stats["rounds"] += 1
-            if not (nt + nl + ni + nc):
+            if not (nt + nl + ni + nb + nc):
                 break
 
     fixpoint()

@@ -46,6 +46,7 @@ def test_upsert_rounds_kernel_path_matches_argsort(monkeypatch):
     ref, total_ref = SC.upsert_rounds(mask, K, (pay,), fold,
                                       jnp.zeros((), jnp.int32))
 
+    monkeypatch.setenv("FAUCET_COMPACT", "kernel")
     monkeypatch.setattr(BL, "_use_pallas", lambda: True)
     real_mi = CK.mask_indices
     monkeypatch.setattr(
