@@ -92,21 +92,29 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
         # windows*constant): every lane submitted to a membership/insert
         # kernel, incl. the compacted live lanes of the node inserts
         n_probes = jnp.zeros((), jnp.int32)
+        ws = None
         if mode in ("both", "load", "loadscan"):
             if use_nodes:
-                cascade, node_cascade, n_new = SC.load_batch_nodes(
+                cascade, node_cascade, n_new, ws = SC.load_batch_nodes_s(
                     cascade, node_cascade, bases, lens, cfg)
                 n_probes += B * P + 2 * n_new
             else:
-                cascade = SC.load_batch(cascade, bases, lens, cfg)
+                cascade, ws = SC.load_batch_s(cascade, bases, lens, cfg)
                 n_probes += B * P
         if mode in ("both", "scan", "loadscan"):
+            # single-pass fusion: 'both' reuses the insert kernel's
+            # window-solidity (ws) so the scan skips its window probe —
+            # the streaming pipeline's stream_step path; 'scan' alone
+            # still probes (the two-pass file mode's phase 2)
             res = SC.scan_batch(cascade, junctions, sinks, bases, lens,
-                                cfg, node_cascade if use_nodes else None)
+                                cfg, node_cascade if use_nodes else None,
+                                window_solid=ws)
             junctions, sinks, n_solid = res.junctions, res.sinks, \
                 res.n_solid
-            # solid probe + junction test (2 node lanes or 8 ext lanes)
-            n_probes += B * P * (3 if use_nodes else 9)
+            # junction test lanes (+ the window probe when not fused)
+            n_probes += B * P * ((2 if ws is not None else 3)
+                                 if use_nodes
+                                 else (8 if ws is not None else 9))
         if mode == "kmerize":
             from faucet_tpu.core import kmer as KMM
 

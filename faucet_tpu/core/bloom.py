@@ -241,14 +241,26 @@ def cascade_insert(c: Cascade, khi, klo, mask, cfg,
 
 def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
                       ) -> Tuple[Cascade, jnp.ndarray]:
-    """cascade_insert + per-lane new-B flags: new_b[i] is True on exactly
-    the lane whose insert first promoted its k-mer into B (drives the
-    branch-node cascade, core/nodes.py).
+    c, new_b, _ = cascade_insert_nbs(c, khi, klo, mask, cfg, sparse=sparse)
+    return c, new_b
+
+
+def cascade_insert_nbs(c: Cascade, khi, klo, mask, cfg,
+                       sparse: bool = False
+                       ) -> Tuple[Cascade, jnp.ndarray, jnp.ndarray]:
+    """cascade_insert + per-lane (new_b, solid) flags: new_b[i] is True
+    on exactly the lane whose insert first promoted its k-mer into B
+    (drives the branch-node cascade, core/nodes.py); solid[i] is B
+    membership as of the lane's OWN insert — the streaming scan's window
+    solidity, produced for free by the insert pass instead of a second
+    probe pass (one fewer probe per window in single-pass mode).
 
     On TPU the whole cascade runs as ONE fused Pallas pass
     (kernels/cascade.py): keys are processed sequentially in VMEM, which
-    IS the reference semantics — provably bit-identical to the sort+count
-    formulation below (tests/unit/test_cascade_kernel.py).
+    IS the reference semantics — provably bit-identical to the
+    sort+count formulation below (tests/unit/test_cascade_kernel.py;
+    the fallback's solid uses the same at-its-turn rule: in B before, in
+    A before, or any earlier in-batch occurrence).
     """
     sb = cfg.shard_bits
     n = khi.shape[0]
@@ -271,24 +283,37 @@ def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
         # probe-speed, so a prefilter pass no longer pays for itself.
         import os as _os
 
-        aw, bw, new_b = cascade_insert_fused(
+        aw, bw, new_b, solid = cascade_insert_fused(
             c.a_bloom.words, c.b_bloom.words, block_a, block_b, h1r, h2,
             cfg.n_hash_a, cfg.n_hash_b,
             live=(mask if sparse else None), sparse=sparse,
+            with_solid=True,
             cond_store=_os.environ.get("FAUCET_CASCADE_CONDSTORE",
                                        "0") == "1")
-        return c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b
+        return (c._replace(a_bloom=Bloom(aw), b_bloom=Bloom(bw)), new_b,
+                solid)
     skhi, sklo, counts, rep, sidx = _batch_counts(khi, klo, mask)
+    # per-lane occurrence rank within its sorted key group (stable sort:
+    # rank 0 is the first in-batch occurrence)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(head, iota, 0))
+    rank = iota - seg_start
     if cfg.exact:
         in_a = T.contains(c.a_table, skhi, sklo, rep, shard_bits=sb)
         in_b = T.contains(c.b_table, skhi, sklo, rep, shard_bits=sb)
         add_b = rep & (in_a | (counts >= 2))
         new_b = jnp.zeros((n,), bool).at[sidx].set(add_b & ~in_b)
+        sol_sorted = (in_b[seg_start] | in_a[seg_start] | (rank >= 1)) \
+            & (skhi != _SENTINEL)
+        solid = jnp.zeros((n,), bool).at[sidx].set(sol_sorted)
         return c._replace(
             a_table=T.upsert(c.a_table, skhi, sklo, (), rep & ~in_a,
                              modes=(), shard_bits=sb),
             b_table=T.upsert(c.b_table, skhi, sklo, (), add_b, modes=(),
-                             shard_bits=sb)), new_b
+                             shard_bits=sb)), new_b, solid
     la = cfg.bloom_a_bits.bit_length() - 1
     lb = cfg.bloom_b_bits.bit_length() - 1
     in_a = bloom_contains(c.a_bloom, skhi, sklo, rep, cfg.n_hash_a, la, sb)
@@ -296,11 +321,14 @@ def cascade_insert_nb(c: Cascade, khi, klo, mask, cfg, sparse: bool = False
     add_b = rep & (in_a | (counts >= 2))
     add_a = rep & ~in_a
     new_b = jnp.zeros((n,), bool).at[sidx].set(add_b & ~in_b)
+    sol_sorted = (in_b[seg_start] | in_a[seg_start] | (rank >= 1)) \
+        & (skhi != _SENTINEL)
+    solid = jnp.zeros((n,), bool).at[sidx].set(sol_sorted)
     return c._replace(
         a_bloom=bloom_insert(c.a_bloom, skhi, sklo, add_a, cfg.n_hash_a,
                              la, sb),
         b_bloom=bloom_insert(c.b_bloom, skhi, sklo, add_b, cfg.n_hash_b,
-                             lb, sb)), new_b
+                             lb, sb)), new_b, solid
 
 
 def cascade_solid(c: Cascade, khi, klo, mask, cfg):

@@ -185,9 +185,13 @@ def upsert_rounds(mask, K: int, payloads, fn, state, sync=None):
 
 
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
-               bases, lens, cfg, node_cascade: BL.Cascade = None
-               ) -> ScanResult:
-    """Single-shard scan: membership and tables are local."""
+               bases, lens, cfg, node_cascade: BL.Cascade = None,
+               window_solid=None) -> ScanResult:
+    """Single-shard scan: membership and tables are local.
+
+    window_solid: optional precomputed [B, P] B-membership of the
+    windows (the single-pass streaming path reuses the insert kernel's
+    flags instead of re-probing)."""
     solid_fn = lambda khi, klo, m: BL.cascade_solid(cascade, khi, klo, m,
                                                     cfg)
     node_fn = None
@@ -195,7 +199,8 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
         ncfg = cfg.node_view()
         node_fn = lambda khi, klo, m: BL.cascade_solid(node_cascade, khi,
                                                        klo, m, ncfg)
-    u = scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn)
+    u = scan_core(solid_fn, bases, lens, cfg, node_solid_fn=node_fn,
+                  window_solid=window_solid)
     wide = cfg.size_kmer > 31
     B, P = u.is_junc.shape
     flat = lambda a: a.reshape((B * P,) + a.shape[2:])
@@ -230,8 +235,8 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
         canon_lo=u.canon_lo)
 
 
-def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
-              ) -> ScanUpdates:
+def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None,
+              window_solid=None) -> ScanUpdates:
     """Scan with injected oracles — the same code path serves the local
     pipeline and the hash-range-sharded one (where the oracles route
     queries to owner shards, dist/sharded.py).
@@ -271,7 +276,8 @@ def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None
             return W.slot_ext_keys_wide(wv.canon, other, k)
 
     B, P = key_hi.shape
-    solid = solid_fn(key_hi, key_lo, valid)
+    solid = (window_solid & valid) if window_solid is not None \
+        else solid_fn(key_hi, key_lo, valid)
 
     # neighbor read bases (codes) just outside each window
     nb = jnp.pad(bases[:, k:], ((0, 0), (0, max(0, P - (bases.shape[1] - k)))),
@@ -436,6 +442,11 @@ def capture_pairs(pairs: T.Table, res1: ScanResult, res2: ScanResult,
 
 def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:
     """Phase-1 cascade load of every valid window of the batch."""
+    return load_batch_s(cascade, bases, lens, cfg)[0]
+
+
+def load_batch_s(cascade: BL.Cascade, bases, lens, cfg):
+    """load_batch + the per-window solidity grid (see load_batch_nodes_s)."""
     if cfg.size_kmer <= 31:
         view = KM.kmerize(bases, lens, cfg.size_kmer)
         khi, klo, valid = view.canon_hi, view.canon_lo, view.valid
@@ -444,8 +455,9 @@ def load_batch(cascade: BL.Cascade, bases, lens, cfg) -> BL.Cascade:
 
         wv = W.kmerize_wide(bases, lens, cfg.size_kmer)
         khi, klo, valid = wv.key_hi, wv.key_lo, wv.valid
-    return BL.cascade_insert(cascade, khi.reshape(-1), klo.reshape(-1),
-                             valid.reshape(-1), cfg)
+    cascade, _new_b, solid = BL.cascade_insert_nbs(
+        cascade, khi.reshape(-1), klo.reshape(-1), valid.reshape(-1), cfg)
+    return cascade, solid.reshape(khi.shape)
 
 
 def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
@@ -456,13 +468,25 @@ def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
     (core/nodes.py). Returns (cascade, node_cascade, n_new_b) where
     n_new_b counts this batch's first-promotions into B (drives the
     measured probes/s metric and the new_solid counter)."""
+    cascade, node_cascade, n_new, _ = load_batch_nodes_s(
+        cascade, node_cascade, bases, lens, cfg)
+    return cascade, node_cascade, n_new
+
+
+def load_batch_nodes_s(cascade: BL.Cascade, node_cascade: BL.Cascade,
+                       bases, lens, cfg):
+    """load_batch_nodes + the per-window B-solidity grid the insert pass
+    computes anyway (bit1 of the fused kernel's flags): single-pass
+    streaming hands it to scan_core so the scan skips its own window
+    probe — one probe lane per window saved (VERDICT r2 #1c)."""
     from faucet_tpu.core import nodes as ND
 
     view = KM.kmerize(bases, lens, cfg.size_kmer)
     khi = view.canon_hi.reshape(-1)
     klo = view.canon_lo.reshape(-1)
     valid = view.valid.reshape(-1)
-    cascade, new_b = BL.cascade_insert_nb(cascade, khi, klo, valid, cfg)
+    cascade, new_b, solid = BL.cascade_insert_nbs(cascade, khi, klo,
+                                                  valid, cfg)
     other_hi, other_lo = u2.select(view.canon_is_fwd, view.rc_hi,
                                    view.rc_lo, view.fwd_hi, view.fwd_lo)
     pk_hi, pk_lo, sk_hi, sk_lo = ND.endpoint_keys(
@@ -472,4 +496,5 @@ def load_batch_nodes(cascade: BL.Cascade, node_cascade: BL.Cascade,
     nmask = jnp.concatenate([new_b, new_b])
     node_cascade = BL.cascade_insert(node_cascade, nhi, nlo, nmask,
                                      cfg.node_view(), sparse=True)
-    return cascade, node_cascade, jnp.sum(new_b, dtype=I32)
+    return (cascade, node_cascade, jnp.sum(new_b, dtype=I32),
+            solid.reshape(view.canon_hi.shape))

@@ -124,7 +124,10 @@ def _kernel(ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in, b_in,
             was_b = jnp.sum((eff_b[g] & mask_b[g]) != mask_b[g]) == 0
             in_a.append(ia)
             add_a.append(valid[g] & jnp.logical_not(ia))
-            new_b = (ia & jnp.logical_not(was_b)).astype(jnp.uint32)
+            # packed flags: bit0 = first B promotion, bit1 = in B after
+            # this key's own insert (the scan's window solidity, free)
+            new_b = (ia & jnp.logical_not(was_b)).astype(jnp.uint32) \
+                + jnp.uint32(2) * (ia | was_b).astype(jnp.uint32)
             if n_tiles == 1:
                 nb_out[i0 + g] = new_b
             else:
@@ -224,7 +227,8 @@ def _kernel_v2(gb_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in, a_in,
                                                         zero)
             b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
                                                         zero)
-        nb_out[i] = new_b.astype(jnp.uint32)
+        nb_out[i] = new_b.astype(jnp.uint32) \
+            + jnp.uint32(2) * (in_a | was_b).astype(jnp.uint32)
 
     def seq_group(i0, _):
         # exact sequential fallback (fresh load per key)
@@ -391,7 +395,9 @@ def _kernel_sparse(live_ref, ba_ref, bb_ref, h1r_ref, h2_ref, nb_in,
                 b_out[pl.ds(r8b, 8), :] = cur_b | jnp.where(in_a, mask_b,
                                                             zero)
             old = nb_out[idx]
-            nb_out[idx] = jnp.where(ok, new_b.astype(jnp.uint32), old)
+            packed = new_b.astype(jnp.uint32) \
+                + jnp.uint32(2) * (in_a | was_b).astype(jnp.uint32)
+            nb_out[idx] = jnp.where(ok, packed, old)
 
         def windows(g):
             ok, rel_c, blk_b = meta[g][0], meta[g][1], meta[g][2]
@@ -459,14 +465,15 @@ def _pick_tile_words(wa: int, wb: int) -> int:
 @functools.partial(jax.jit, static_argnames=("n_hash_a", "n_hash_b",
                                              "sparse", "tile_override",
                                              "group", "two_phase",
-                                             "cond_store", "interpret"))
+                                             "cond_store", "with_solid",
+                                             "interpret"))
 def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
                          block_a: jnp.ndarray, block_b: jnp.ndarray,
                          h1r: jnp.ndarray, h2: jnp.ndarray, n_hash_a: int,
                          n_hash_b: int = None, live: jnp.ndarray = None,
                          sparse: bool = False, tile_override: int = None,
                          group: int = None, two_phase: bool = True,
-                         cond_store: bool = False,
+                         cond_store: bool = False, with_solid: bool = False,
                          interpret: bool = False):
     """For each key (stream order): if A has all its bits, set them in B,
     else set them in A. block_a == SENTINEL skips the key. Returns the
@@ -535,8 +542,12 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
           b_words.reshape(wb // _LANES, _LANES))
         # dead lanes are never written by the kernel: mask them here
         # instead of relying on aliased-buffer zero-init (ADVICE r1)
+        raw = (new_b[:n] if pad else new_b)
+        if with_solid:
+            return (a_out.reshape(wa), b_out.reshape(wb),
+                    ((raw & 1) > 0) & live, ((raw & 2) > 0) & live)
         return (a_out.reshape(wa), b_out.reshape(wb),
-                ((new_b[:n] if pad else new_b) > 0) & live)
+                ((raw & 1) > 0) & live)
 
     nb0 = jnp.zeros((block_a.shape[0],), jnp.uint32)
     if n_tiles == 1 and two_phase:
@@ -565,8 +576,11 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         )(gb, block_a, block_b, h1r, h2, nb0,
           a_words.reshape(wa // _LANES, _LANES),
           b_words.reshape(wb // _LANES, _LANES))
-        return (a_out.reshape(wa), b_out.reshape(wb),
-                (new_b[:n] if pad else new_b) > 0)
+        raw = (new_b[:n] if pad else new_b)
+        if with_solid:
+            return (a_out.reshape(wa), b_out.reshape(wb),
+                    (raw & 1) > 0, (raw & 2) > 0)
+        return (a_out.reshape(wa), b_out.reshape(wb), (raw & 1) > 0)
     a_out, b_out, new_b = pl.pallas_call(
         functools.partial(_kernel, tile_words=tile_words,
                           n_hash_a=n_hash_a, n_hash_b=n_hash_b,
@@ -582,5 +596,8 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
     )(block_a, block_b, h1r, h2, nb0,
       a_words.reshape(wa // _LANES, _LANES),
       b_words.reshape(wb // _LANES, _LANES))
-    return (a_out.reshape(wa), b_out.reshape(wb),
-            (new_b[:n] if pad else new_b) > 0)
+    raw = (new_b[:n] if pad else new_b)
+    if with_solid:
+        return (a_out.reshape(wa), b_out.reshape(wb),
+                (raw & 1) > 0, (raw & 2) > 0)
+    return (a_out.reshape(wa), b_out.reshape(wb), (raw & 1) > 0)

@@ -87,6 +87,14 @@ class Pipeline:
         self._load_nodes = jax.jit(SC.load_batch_nodes,
                                    static_argnames=("cfg",),
                                    donate_argnums=(0, 1))
+        # single-pass streaming variants: the insert pass also returns
+        # the window-solidity grid, and the scan consumes it instead of
+        # re-probing B (one probe lane per window saved)
+        self._load_s = jax.jit(SC.load_batch_s, static_argnames=("cfg",),
+                               donate_argnums=(0,))
+        self._load_nodes_s = jax.jit(SC.load_batch_nodes_s,
+                                     static_argnames=("cfg",),
+                                     donate_argnums=(0, 1))
         self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
         self._pairs = jax.jit(SC.capture_pairs,
                       static_argnames=("cfg",),
@@ -135,16 +143,34 @@ class Pipeline:
         jax.block_until_ready(self.junctions)
         m.stop("scan")
 
-    def scan_batch(self, bases, lens):
+    def scan_batch(self, bases, lens, window_solid=None):
         res = self._scan(self.cascade, self.junctions, self.sinks,
                          jnp.asarray(bases), jnp.asarray(lens),
-                         cfg=self.cfg, node_cascade=self.node_cascade)
+                         cfg=self.cfg, node_cascade=self.node_cascade,
+                         window_solid=window_solid)
         self.junctions = res.junctions
         self.sinks = res.sinks
         self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
         self.metrics.add("solid_windows", int(res.n_solid))
         self.metrics.add("junction_hits", int(res.n_junc_pos))
         return res
+
+    def stream_step(self, bases, lens):
+        """Fused single-pass step: insert the batch, then scan it with
+        the window solidity the insert kernel computed in-register
+        (bit1 of the fused cascade flags) — the scan's own window probe
+        disappears (VERDICT r2 #1c)."""
+        bases = jnp.asarray(bases)
+        lens_d = jnp.asarray(lens)
+        if self.node_cascade is not None:
+            (self.cascade, self.node_cascade, _n,
+             ws) = self._load_nodes_s(self.cascade, self.node_cascade,
+                                      bases, lens_d, cfg=self.cfg)
+        else:
+            self.cascade, ws = self._load_s(self.cascade, bases, lens_d,
+                                            cfg=self.cfg)
+        self.metrics.add("reads_loaded", int((np.asarray(lens) > 0).sum()))
+        return self.scan_batch(bases, lens, window_solid=ws)
 
     def scan_paired(self, reads: Iterable[str]):
         """Scan an interleaved mate stream; captures junction pairs for
@@ -289,8 +315,7 @@ class Pipeline:
                 self._stream_pair_batch(m1, m2)
         else:
             for bases, lens in batch_iter(reads, self.cfg):
-                self.load_batch(bases, lens)
-                self.scan_batch(bases, lens)
+                self.stream_step(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()
@@ -324,8 +349,7 @@ class Pipeline:
                 self.load_batch(b2, l2)
                 self._scan_pair_packed(b1, l1, b2, l2)
             else:
-                self.load_batch(bases, lens)
-                self.scan_batch(bases, lens)
+                self.stream_step(bases, lens)
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()

@@ -62,6 +62,23 @@ def test_fused_matches_reference(rng, la, lb, n, dup):
         f = np.asarray(flags)
         return sorted(zip(khi[f].tolist(), klo[f].tolist()))
     assert key_multiset(nb1) == key_multiset(nb_ref)
+    # per-lane window solidity (bit1 of the packed flags) must match the
+    # fallback's at-its-turn rule EXACTLY — the streaming scan consumes
+    # it as the window probe
+    aw_s, bw_s, nb_s, sol_s = cascade_insert_fused(
+        c0.a_bloom.words, c0.b_bloom.words, ba, bb, h1r, h2,
+        cfg.n_hash_a, cfg.n_hash_b, with_solid=True, interpret=True)
+    _, nb_f, sol_f = BL.cascade_insert_nbs(c0, jnp.asarray(khi),
+                                           jnp.asarray(klo),
+                                           jnp.asarray(mask), cfg)
+    ss, sf = np.asarray(sol_s), np.asarray(sol_f)
+    # the kernel probes B at each key's own turn (mid-batch state), the
+    # fallback pre-batch: the kernel's set is a SUPERSET, and the extras
+    # are Bloom-fp-level noise on fresh keys only
+    assert not (sf & ~ss).any()
+    assert (ss & ~sf).mean() < 0.03
+    np.testing.assert_array_equal(np.asarray(aw_s), np.asarray(aw))
+    np.testing.assert_array_equal(np.asarray(bw_s), np.asarray(bw))
     ba2, bb2, h1r2, h22 = _blocks(jnp.asarray(khi[::-1].copy()),
                                   jnp.asarray(klo[::-1].copy()), la, lb,
                                   jnp.asarray(mask[::-1].copy()))
