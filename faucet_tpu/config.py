@@ -59,7 +59,15 @@ class Config:
     n_hash_e_override: Optional[int] = None      # branching node-sides)
     node_cap_d_override: Optional[int] = None
     node_cap_e_override: Optional[int] = None
-    max_contig_len: int = 200_000          # global walk bound (bases)
+    max_contig_len: int = 8_000_000        # global walk bound (bases) —
+    #   a cap, not a cost: frontier compaction makes walk work ~sum of
+    #   walk lengths, and strips stream to host per wave call, so the
+    #   bound only needs to exceed the longest real unitig (200k cut
+    #   every >200kb unitig at 4+ Mbp scale, VERDICT r2 #2)
+    break_on_deep_tie: bool = False        # walks: retire (True) or
+    #   force-continue (False) when >=2 branch candidates survive the
+    #   deep lookahead — both paths real, almost always a shadowed error
+    #   bubble's arms that rejoin (graph/walk.py resolve_ambiguous)
     fp_lookahead: int = 8                  # walk fp-branch arbitration depth:
     #   at an ambiguous step each solid candidate must survive this many
     #   greedy extension steps through B; a Bloom-fp chain survives with
@@ -74,6 +82,10 @@ class Config:
     #   memory at [W, rounds*steps] u8 while cutting host syncs 8x
     tip_len_factor: float = 2.0            # clean: tips shorter than f*read_len
     min_contig_cov: float = 2.5            # clean: drop contigs below this cov
+    route_walks: bool = True               # sharded pipelines: walk hops
+    #   route frontier k-mers to their hash-range owner shard through
+    #   dist/route.py's explicit all_to_all (bytes counted) instead of
+    #   XLA GSPMD auto-partitioning the probes (dist/swalk.py; k<=31)
     distributed_clean: bool = False        # sharded pipelines: clean the
     #   graph with the halo-exchange partitioned cleaner (dist/halo.py)
     #   instead of the single-host passes — contig-set-identical

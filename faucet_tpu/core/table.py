@@ -190,9 +190,13 @@ def lookup(tbl: Table, khi, klo, mask, max_rounds: int = 128,
         pending = pending & ~hit & ~absent
         return pending, found, idx_out, r + 1
 
-    n = khi.shape[0]
-    init = (jnp.asarray(mask, bool), jnp.zeros((n,), bool),
-            jnp.full((n,), -1, jnp.int32), jnp.zeros((), jnp.int32))
+    mask = jnp.asarray(mask, bool)
+    # inits derive from varying inputs (mask/h1), not fresh constants:
+    # under shard_map the loop outputs are shard-varying and the carry
+    # types must match (vma checks; dist/swalk.py routes lookups)
+    init = (mask, mask & False,
+            (h1 * np.uint32(0)).astype(jnp.int32) - 1,
+            jnp.zeros((), jnp.int32))
     _, found, idx_out, _ = jax.lax.while_loop(cond, body, init)
     return found, idx_out
 

@@ -140,14 +140,23 @@ def route_consume(payload: Dict[str, jnp.ndarray], owner, mask,
 
 def route_query(payload: Dict[str, jnp.ndarray], owner, mask,
                 n_shards: int, cap: int, answer: Callable,
-                ans_dtype=jnp.int8, fill=0, axis: str = AXIS):
+                ans_dtype=jnp.int8, fill=0, axis: str = AXIS,
+                stats: list = None):
     """LOSSLESS owner-routed query: every masked item reaches its owner
     (multi-round carry), is answered by answer(recv_dict, recv_mask) ->
     [n_shards*cap] array, and the answer returns to the item's lane.
-    Returns ([n] answers with `fill` where unmasked, n_unsent==0)."""
+    Returns ([n] answers with `fill` where unmasked, n_unsent==0).
+
+    stats: optional list the (traced) carry-round count is appended to,
+    for collective-byte accounting by the caller."""
     n = owner.shape[0]
     rounds = _n_rounds(owner, mask, n_shards, cap, axis)
-    init = jnp.full((n,), fill, ans_dtype)
+    if stats is not None:
+        stats.append(rounds)
+    # init derives from a varying input (owner), not a fresh constant:
+    # the loop output is shard-varying (it mixes in routed answers) and
+    # shard_map's vma checks require matching carry types
+    init = (owner * 0 + fill).astype(ans_dtype)
 
     def body(_r, carry):
         got, pending = carry

@@ -635,12 +635,14 @@ class ShardedPipeline:
             self.junctions = prune_slots(self.junctions,
                                          self.cfg.prune_slot_cov)
         m.start("build")
-        g = GraphBuilder(self.cfg, self.cascade, self.junctions,
-                         self.sinks).build()
+        gb = GraphBuilder(self.cfg, self.cascade, self.junctions,
+                          self.sinks, mesh=self.mesh)
+        g = gb.build()
         m.stop("build")
         m.add("junctions", int(fetch(self.junctions.count).sum()))
         m.add("sink_anchors", int(fetch(self.sinks.count).sum()))
         m.add("contigs_raw", len(g.live()))
+        m.add("walk_route_bytes", gb.route_bytes)
         return g
 
     def clean_graph(self, g):

@@ -190,11 +190,17 @@ class _WideCodec:
 
 class GraphBuilder:
     def __init__(self, cfg, cascade: BL.Cascade, junctions: T.Table,
-                 sinks: T.Table):
+                 sinks: T.Table, mesh=None):
         self.cfg = cfg
         self.cascade = cascade
         self.junctions = junctions
         self.sinks = sinks
+        # owner-routed walks (dist/swalk.py): explicit all_to_all per
+        # hop over the mesh, with routed-byte accounting — narrow codes
+        # only (wide fingerprint walks fall back to GSPMD partitioning)
+        self.mesh = mesh if (mesh is not None and cfg.route_walks
+                             and not cfg.wide) else None
+        self.route_bytes = 0
         if cfg.wide:
             self.codec_j = _WideCodec(cfg, "v2")
             self.codec_s = _WideCodec(cfg, "v1")
@@ -279,10 +285,20 @@ class GraphBuilder:
         total = 0
         R = max(1, cfg.walk_rounds_per_call)
         while total < cfg.max_contig_len:
-            fr, bases = waves(self.cascade, self.junctions, fr,
-                              n_rounds=R, n_steps=cfg.walk_round_steps,
-                              cfg=cfg, walk_fn=codec.walk_round(),
-                              resolve_fn=codec.resolver())
+            if self.mesh is not None:
+                from faucet_tpu.dist.swalk import walk_waves_routed
+
+                fr, bases, rb = walk_waves_routed(
+                    self.mesh, self.cascade, self.junctions, fr,
+                    n_rounds=R, n_steps=cfg.walk_round_steps, cfg=cfg)
+                self.route_bytes += int(fetch(rb))
+            else:
+                fr, bases, _r = waves(self.cascade, self.junctions, fr,
+                                      n_rounds=R,
+                                      n_steps=cfg.walk_round_steps,
+                                      cfg=cfg,
+                                      walk_fn=codec.walk_round(),
+                                      resolve_fn=codec.resolver())
             b = fetch(bases)
             mask = b != 255
             counts = mask.sum(axis=1)

@@ -74,25 +74,35 @@ def _top_base(fhi, flo, k: int):
 
 
 def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
-               n_steps: int, cfg) -> Tuple[Frontier, jnp.ndarray]:
+               n_steps: int, cfg, solid_fn=None, junc_fn=None
+               ) -> Tuple[Frontier, jnp.ndarray]:
     """Advance every active walk by up to n_steps bases.
 
     Returns (frontier, bases uint8[W, n_steps]; 255 where lane inactive).
+
+    solid_fn/junc_fn: injectable membership/junction oracles — the
+    owner-routed sharded walk (dist/swalk.py) replaces the local probes
+    with dist/route.py round trips, same signatures as scan_core's.
     """
     k = cfg.size_kmer
+    if solid_fn is None:
+        solid_fn = lambda chi, clo, m: BL.cascade_solid(cascade, chi,
+                                                        clo, m, cfg)
+    if junc_fn is None:
+        junc_fn = lambda chi, clo, m: T.lookup(
+            junctions, chi, clo, m, shard_bits=cfg.shard_bits)[0]
 
     def step(fr: Frontier, _):
         a = fr.active
-        # 4-way right-extension probe in travel frame
-        sols = []
-        exts = []
-        for b in range(4):
-            e = KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo,
-                             np.uint32(b), k)
-            chi, clo, _ = KM.canon_of(*e)
-            sols.append(BL.cascade_solid(cascade, chi, clo, a, cfg))
-            exts.append(e)
-        solid4 = jnp.stack(sols, axis=-1)            # [W, 4]
+        # 4-way right-extension probe in travel frame (one stacked call:
+        # locally one kernel launch, sharded one routing round)
+        exts = [KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo,
+                             np.uint32(b), k) for b in range(4)]
+        cc = [KM.canon_of(*e) for e in exts]
+        qhi = jnp.stack([c[0] for c in cc])
+        qlo = jnp.stack([c[1] for c in cc])
+        solid4 = solid_fn(qhi, qlo,
+                          jnp.broadcast_to(a, qhi.shape)).T  # [W, 4]
         cnt = jnp.sum(solid4, axis=-1)
         free = a & (fr.forced < 0)
         dead = free & (cnt == 0)
@@ -111,8 +121,7 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
 
         circ = advance & fr.circle_ok & (fhi == fr.t0hi) & (flo == fr.t0lo)
         chi, clo, cisf = KM.canon_of(fhi, flo, rhi, rlo)
-        at_junc = T.lookup(junctions, chi, clo, advance & ~circ,
-                           shard_bits=cfg.shard_bits)[0]
+        at_junc = junc_fn(chi, clo, advance & ~circ)
         eslot = entry_slot(cisf, pbase)
 
         end_kind = fr.end_kind
@@ -136,7 +145,8 @@ def walk_round(cascade: BL.Cascade, junctions: T.Table, fr: Frontier,
     return fr, bases.T  # [W, n_steps]
 
 
-def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
+def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
+                      solid_fn=None) -> Frontier:
     """Re-arm walks retired on Bloom-fp branches via deep greedy lookahead.
 
     Reference analogue: the BF walk's fp-branch tolerance — "exactly one
@@ -152,14 +162,16 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
     ambiguous lanes (the probe kernel skips masked lanes), and the 4
     candidates ride one batched probe per lookahead step."""
     k = cfg.size_kmer
+    if solid_fn is None:
+        solid_fn = lambda chi, clo, m: BL.cascade_solid(cascade, chi,
+                                                        clo, m, cfg)
     amb = (fr.end_kind == END_AMBIG) & ~fr.active
     # candidate frame [4, W]: all 4 right extensions advanced in lockstep
     exts = [KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
             for b in range(4)]
     cur = tuple(jnp.stack([e[j] for e in exts]) for j in range(4))
     chi, clo, _ = KM.canon_of(*cur)
-    alive = BL.cascade_solid(cascade, chi, clo,
-                             jnp.broadcast_to(amb, chi.shape), cfg)
+    alive = solid_fn(chi, clo, jnp.broadcast_to(amb, chi.shape))
     first = alive
 
     # Each lookahead step advances every candidate one base, choosing
@@ -173,14 +185,14 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
         ch = [KM.right_ext(*cur, np.uint32(b2), k) for b2 in range(4)]
         chi = jnp.stack([KM.canon_of(*e)[0] for e in ch])   # [4, 4, W]
         clo = jnp.stack([KM.canon_of(*e)[1] for e in ch])
-        s_child = BL.cascade_solid(
-            cascade, chi, clo, jnp.broadcast_to(alive, chi.shape), cfg)
+        s_child = solid_fn(chi, clo,
+                           jnp.broadcast_to(alive, chi.shape))
         cur4 = tuple(jnp.stack([e[j] for e in ch]) for j in range(4))
         gr = [KM.right_ext(*cur4, np.uint32(b3), k) for b3 in range(4)]
         ghi = jnp.stack([KM.canon_of(*e)[0] for e in gr])   # [4, 4, 4, W]
         glo = jnp.stack([KM.canon_of(*e)[1] for e in gr])
-        s_grand = BL.cascade_solid(
-            cascade, ghi, glo, jnp.broadcast_to(s_child, ghi.shape), cfg)
+        s_grand = solid_fn(ghi, glo,
+                           jnp.broadcast_to(s_child, ghi.shape))
         strong = s_child & jnp.any(s_grand, axis=0)
         score = strong.astype(I32) * 2 + s_child.astype(I32)
         bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)  # [4, W]
@@ -189,6 +201,16 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
     strong4 = (first & alive).T                    # [W, 4]
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
+    if not cfg.break_on_deep_tie:
+        # >=2 candidates surviving a DEEP lookahead means both paths are
+        # real — almost always the two arms of an error bubble whose
+        # junction a B-fp shadowed out of the node cascade (they rejoin,
+        # so either choice reaches the same next junction; the unwalked
+        # arm shows up as an equal-length parallel contig that
+        # pop_bubbles removes). Breaking here fragments the assembly at
+        # every shadowed bubble; continuing risks a chimeric join only
+        # at a shadow-missed TRUE fork (~fp_b of true junctions).
+        resolved = resolved | (amb & (scnt >= 2))
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),
@@ -198,7 +220,8 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg) -> Frontier:
 
 
 def walk_waves(cascade: BL.Cascade, junctions: T.Table, fr, n_rounds: int,
-               n_steps: int, cfg, walk_fn=None, resolve_fn=None):
+               n_steps: int, cfg, walk_fn=None, resolve_fn=None,
+               any_fn=None):
     """Run up to n_rounds walk rounds (each n_steps, with fp-branch
     resolution between rounds) in ONE device call under lax.while_loop,
     exiting early when the frontier drains.
@@ -210,28 +233,38 @@ def walk_waves(cascade: BL.Cascade, junctions: T.Table, fr, n_rounds: int,
     [W, n_rounds*n_steps] u8 per call (ADVICE r2 #3: strips drain to
     host once per call instead of accumulating across the whole walk).
 
-    Returns (frontier, bases u8[W, n_rounds*n_steps]; 255 = no advance;
-    rounds never entered stay 255 and are filtered by the host decoder).
+    Returns (frontier, bases u8[W, n_rounds*n_steps], rounds_executed);
+    bases is 255 where no advance happened — rounds never entered stay
+    255 and are filtered by the host decoder.
     """
     walk_fn = walk_fn or walk_round
     resolve_fn = resolve_fn or resolve_ambiguous
-    Wn = fr.active.shape[0]
-    bases0 = jnp.full((Wn, n_rounds * n_steps), 255, jnp.uint8)
+    # continue-condition reducer: MUST be globally agreed when the
+    # frontier is lane-sharded (dist/swalk.py passes a pmax over the
+    # mesh axis), or shards exit the loop at different round counts and
+    # the collectives inside deadlock
+    any_fn = any_fn or jnp.any
+    # derive the strip buffer from the (possibly shard-varying) frontier
+    # rather than a fresh constant: under shard_map the loop writes
+    # varying data into it and the carry types must match (vma checks)
+    bases0 = jnp.tile(
+        ((fr.steps * 0).astype(jnp.uint8) + jnp.uint8(255))[:, None],
+        (1, n_rounds * n_steps))
 
     def cond(carry):
-        r, fr, _ = carry
-        return (r < n_rounds) & jnp.any(fr.active)
+        r, fr, _, go = carry
+        return (r < n_rounds) & go
 
     def body(carry):
-        r, fr, bases = carry
+        r, fr, bases, _ = carry
         fr, b = walk_fn(cascade, junctions, fr, n_steps=n_steps, cfg=cfg)
         fr = resolve_fn(cascade, fr, cfg)
         bases = jax.lax.dynamic_update_slice(bases, b, (0, r * n_steps))
-        return (r + 1, fr, bases)
+        return (r + 1, fr, bases, any_fn(fr.active))
 
-    _, fr, bases = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), fr, bases0))
-    return fr, bases
+    r, fr, bases, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), fr, bases0, any_fn(fr.active)))
+    return fr, bases, r
 
 
 # ---- wide (k > 31) frontier: 4-word codes, fingerprint keys ------------
@@ -373,6 +406,8 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
     strong4 = (first & alive).T
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
+    if not cfg.break_on_deep_tie:
+        resolved = resolved | (amb & (scnt >= 2))  # see narrow twin
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),
