@@ -110,7 +110,11 @@ def walk_waves_routed(mesh, cascade, junctions, fr, n_rounds: int,
         L = int(cfg.fp_lookahead)
         res_b = n * (cap(4 * Wl)
                      + L * (cap(16 * Wl) + cap(64 * Wl))) * 9
-        bytes_ = r * jnp.int32(n_steps * step_b + res_b)
+        # per-round byte constant is a Python int (can exceed 2^31 at
+        # large Wl — ADVICE r3); accumulate in float32 so the metric
+        # neither overflows nor fails to trace (x64 is disabled)
+        bytes_ = r.astype(jnp.float32) * np.float32(n_steps * step_b
+                                                    + res_b)
         return fr2, bases, jax.lax.psum(bytes_, AXIS)
 
     return shard_map(

@@ -223,6 +223,21 @@ def resolve_port_clashes(g: ContigGraph) -> int:
 EQLEN_RATIO = 0.8  # pop threshold for equal-length parallel arms
 
 
+def seq_rank64(s: str) -> int:
+    """Deterministic 64-bit order key of a sequence (FNV-1a bytes).
+
+    pop_bubbles breaks exact-coverage ties on this key instead of the
+    full canonical sequence so the partitioned cleaner (dist/halo.py)
+    can replicate the ordering with one fixed-width message field; a
+    collision (~2^-64 per pair) would only flip which of two
+    equal-coverage arms survives."""
+    h = 0xcbf29ce484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
     """Delete low-coverage parallel arms: when >=2 contigs connect the
     SAME pair of junction nodes, arms at <= ratio x the strongest arm's
@@ -257,10 +272,12 @@ def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
             continue
         cs = [g.contigs[i] for i in idxs]
         top_i = max(range(len(idxs)),
-                    key=lambda j: (cs[j].cov, cs[j].canonical_seq()))
+                    key=lambda j: (cs[j].cov,
+                                   seq_rank64(cs[j].canonical_seq())))
         top = cs[top_i].cov
         top_len = len(cs[top_i].seq)
         survivors = []
+        killed_here = 0
         for j, i in enumerate(idxs):
             c = cs[j]
             kill = j != top_i and (
@@ -268,10 +285,11 @@ def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
                 or (len(c.seq) == top_len and c.cov <= EQLEN_RATIO * top))
             if kill:
                 g.remove_contig(i)
-                removed += 1
+                killed_here += 1
             else:
                 survivors.append(i)
-        if removed and len(survivors) >= 1:
+        removed += killed_here
+        if killed_here and len(survivors) >= 1:
             for i in survivors:
                 c = g.contigs[i]
                 for e, end in ((c.left, "L"), (c.right, "R")):
