@@ -52,7 +52,7 @@ def run_pipeline(args):
     genome = SIM.genome_with_repeats(rng, G, n_repeats=max(4, G // 250_000),
                                      repeat_len=400)
     reads = SIM.shred(rng, genome, coverage=args.coverage, read_len=100,
-                      err_rate=args.err)
+                      err_rate=args.err, circular=True)
     n_kmers = len(genome) - args.k + 1
     cfg = Config(size_kmer=args.k, max_read_length=100,
                  batch_reads=args.batch, estimated_kmers=n_kmers,
@@ -68,7 +68,7 @@ def run_pipeline(args):
     stats = clean(g, max_tip_len=int(cfg.tip_len_factor
                                      * cfg.max_read_length),
                   min_cov=cfg.min_contig_cov)
-    tg = genome_graph(genome, args.k)
+    tg = genome_graph(genome, args.k, circular=True)
     truth = [tg.contigs[i].seq for i in tg.live()]
     state = {"genome": genome, "truth": truth, "k": args.k,
              "pre": pre, "post": g, "clean_stats": stats,

@@ -22,7 +22,9 @@ Writes bench/scale_run.json:
    genome_true_frac, truth_recovered_frac, platform}
 
 With --check, asserts the BASELINE-metric quality gate (exit 1 on miss):
-  genome_true_frac >= 0.99 and n50_vs_truth >= 0.9
+  genome_true_frac >= 0.99, n50_vs_truth >= 0.9,
+  truth_recovered_frac >= 0.95  (VERDICT r3 #1: reference-unitig
+  recovery is the flagship metric and is now gated)
 """
 import argparse
 import json
@@ -50,7 +52,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--check", action="store_true",
                     help="assert the quality gate (>=99%% genome-true, "
-                         "N50-vs-truth >= 0.9)")
+                         "N50-vs-truth >= 0.9, truth-recovered >= 0.95)")
     ap.add_argument("--out", default=os.path.join(REPO, "bench",
                                                   "scale_run.json"))
     args = ap.parse_args()
@@ -71,8 +73,13 @@ def main():
     t0 = time.perf_counter()
     genome = SIM.genome_with_repeats(rng, G, n_repeats=max(4, G // 250_000),
                                      repeat_len=400)
+    # circular genome (config-1 is E. coli — a circular chromosome): a
+    # LINEAR sim ramps coverage to ~0 over the last read-length, so the
+    # terminal k-mers are seen <2x and can never pass the two-occurrence
+    # cascade (reference semantics included) — a sim artifact, not an
+    # assembler property (BENCH_NOTES round-4 notes)
     reads = SIM.shred(rng, genome, coverage=args.coverage, read_len=100,
-                      err_rate=args.err)
+                      err_rate=args.err, circular=True)
     t_synth = time.perf_counter() - t0
     n_kmers = len(genome) - args.k + 1
     cfg = Config(size_kmer=args.k, max_read_length=100,
@@ -104,7 +111,7 @@ def main():
     g = timed("clean", lambda: p.clean_graph(g))
     contigs = [g.contigs[i].seq for i in g.live()]
 
-    tg = genome_graph(genome, args.k)
+    tg = genome_graph(genome, args.k, circular=True)
     truth = [tg.contigs[i].seq for i in tg.live()]
     lens = [len(c) for c in contigs]
     tlens = [len(t) for t in truth]
@@ -123,16 +130,22 @@ def main():
         "n50_vs_truth": round(n50(lens) / max(n50(tlens), 1), 4),
         "platform": args.platform,
     }
-    rec.update(assess(contigs, genome, args.k))
+    # doubled genome: a contig may span the circular origin
+    rec.update(assess(contigs, genome + genome, args.k))
     rec.update(truth_recovery(contigs, truth, genome))
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec), flush=True)
     if args.check:
-        ok = (rec["genome_true_frac"] >= 0.99
-              and rec["n50_vs_truth"] >= 0.9)
-        print(f"[scale] quality gate: "
-              f"{'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        gates = {
+            "genome_true_frac": rec["genome_true_frac"] >= 0.99,
+            "n50_vs_truth": rec["n50_vs_truth"] >= 0.9,
+            "truth_recovered_frac": rec["truth_recovered_frac"] >= 0.95,
+        }
+        ok = all(gates.values())
+        print(f"[scale] quality gate: {'PASS' if ok else 'FAIL'} "
+              + " ".join(f"{k}={'ok' if v else 'MISS'}"
+                         for k, v in gates.items()), file=sys.stderr)
         sys.exit(0 if ok else 1)
 
 

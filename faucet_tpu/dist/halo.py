@@ -8,13 +8,25 @@ round every shard runs the SAME delete/collapse rules as the host
 `graph/clean.py` passes on its owned contigs only, and cross-shard
 effects ride fixed-width numeric control messages exchanged through ONE
 `lax.all_to_all` per sub-step (the mesh collective plane — the same
-fixed-capacity discipline as dist/route.py; bytes are counted). Rules
-that need a node's global view (the per-anchor tip keep-last rule, port
-counts, 1-in/1-out collapse detection) are arbitrated by the NODE's
-owner shard, which holds the authoritative port registry for its hash
-range — degrees therefore never need broadcasting; only O(cut) boundary
-updates move. Contig sequence payloads for cross-shard merges move on
-the host object plane (stand-in for the DCN transfer; bytes counted).
+fixed-capacity + overflow-carry discipline as dist/route.py; every
+collective moves the same n*n*cap*W buffer regardless of skew, and the
+trip count is ceil(hottest-pair rows / cap)). Rules that need a node's
+global view (per-anchor tip arbitration, effective attachment = "does
+this node keep other ports", 1-in/1-out collapse detection) are
+arbitrated by the NODE's owner shard, which holds the authoritative
+port registry for its hash range — degrees therefore never need
+broadcasting; only O(cut) boundary rows move. Contig sequence payloads
+for cross-shard merges move on the host object plane (stand-in for the
+DCN transfer; bytes counted).
+
+Round-4 parity rework: classification mirrors graph/clean._classify
+exactly — effective attachment (END_INFO/END_STATUS handshake with the
+node owner), the TIP_KEEP_RATIO long-tip rule, ISO_COV_MULT isolated
+threshold, keep-strongest (cov, seq_rank64, slot) anchor arbitration —
+and the bubble round carries arm length + rank so the arbiter applies
+pop_bubbles' FULL kill predicate (ratio rule, EQLEN_RATIO equal-length
+rule, (cov, rank) top-arm pick) and survivor ports re-register with
+setdefault semantics (VERDICT r3 #4, ADVICE r3 items 1-2).
 
 Global fixpoint: per-round change counters are max-reduced across shards
 (the pmax of the design note); rounds repeat until no shard changed.
@@ -25,27 +37,31 @@ merge_through's pairwise weighted mean re-counts the shared node window
 per merge, so it is not associative across merge orders — a property of
 the sequential code, not of the partitioning.
 
-Protocol per round (mirrors clean()'s delete-then-collapse order):
-  1. local: low-cov + short-isolated kills (purely contig-local rules)
-  2. TIP_CAND   -> node owner     (anchor arbitration, keep-last rule)
-  3. KILL       -> contig owner   (tip verdicts; apply all kills)
-  4. PORT_DEL   -> node owner     (registry deltas from removed contigs)
-  5. node owner: detect 2-port opposite-face nodes -> MERGE orders to
-     both contig owners (per-contig conflict resolution: a contig joins
-     at most one merge per round, smallest node-hash proposal wins —
-     chains collapse over multiple rounds to the same fixpoint)
-  6. PORT_MOVE  -> node owner     (merged contig re-registers its far
-     ends, replacing the absorbed contigs' entries)
+Message tags (all rows are uint32[W=12], zero-padded):
+  1  TIP_CAND   -> node owner   (anchor arbitration, keep-strongest)
+  2  KILL       -> contig owner (verdicts; apply all kills together)
+  3  PORT_DEL   -> node owner   (guarded registry deletes)
+  4+5 MERGE     -> contig owner (collapse proposals, paired rows)
+  6  PORT_MOVE  -> node owner   (merged contig re-registers far ends)
+  7  BUBBLE_ARM -> pair arbiter (cov+len+rank; full pop_bubbles rule)
+  8  END_INFO   -> node owner   (per-claim contig cov: the claim map)
+  9  END_STATUS -> contig owner (n_other + max-other-cov per end)
+ 10  SURVIVOR   -> contig owner (popped-group survivor notice)
+ 11  PORT_SET   -> node owner   (setdefault re-registration)
+ 12  REPAIR     -> node owner   (strongest-claimant fill of empty slots)
 """
 from __future__ import annotations
 
 import dataclasses
+import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from faucet_tpu.core.hashing import hash_pair_np
 from faucet_tpu.core.kmer import encode_windows_np, revcomp_seq
+from faucet_tpu.graph.clean import (EQLEN_RATIO, ISO_COV_MULT,
+                                    TIP_KEEP_RATIO, seq_rank64)
 from faucet_tpu.graph.model import Contig, ContigGraph, End
 
 _GID_SHIFT = 40  # gid = (owner_shard << 40) | local_serial
@@ -62,35 +78,48 @@ def _owner_of_code(code: int, n_shards: int) -> int:
         else 0
 
 
+def _f64(v: float) -> Tuple[int, int]:
+    a, b = struct.unpack("<II", struct.pack("<d", v))
+    return a, b
+
+
+def _unf64(a: int, b: int) -> float:
+    return struct.unpack("<d", struct.pack("<II", a, b))[0]
+
+
 class Exchange:
-    """Fixed-width numeric message exchange over the mesh's all_to_all.
+    """Fixed-capacity numeric message exchange over the mesh all_to_all.
 
-    Messages are uint32[W] rows grouped by destination shard; one
-    `exchange()` call = one collective. Without a mesh (pure-host unit
-    tests) the transpose happens in numpy with identical semantics."""
+    One `exchange()` call drains its outbox through one or more
+    collectives: each trip moves a fixed [n, n, CAP, W] uint32 buffer
+    (independent of the hottest shard — dist/route.py's discipline),
+    rows beyond CAP per (src, dst) pair carry over to the next trip, and
+    the trip count is ceil(max pending rows per pair / CAP). Without a
+    mesh (pure-host unit tests) the transpose happens in numpy with
+    identical semantics and accounting."""
 
-    W = 10
+    W = 12
+    CAP = 256
 
-    def __init__(self, n_shards: int, mesh=None):
+    def __init__(self, n_shards: int, mesh=None, cap: int = 0):
         self.n = n_shards
         self.mesh = mesh
+        self.cap = cap or self.CAP
         self.bytes = 0
         self.rounds = 0
         self._fn = None
-        self._cap = -1
 
     def _device_a2a(self, buf: np.ndarray) -> np.ndarray:
         import jax
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         from faucet_tpu.dist.mesh import AXIS
 
-        if self._fn is None or self._cap != buf.shape[2]:
+        if self._fn is None:
             from jax import shard_map
 
             mesh = self.mesh
-            self._cap = buf.shape[2]
 
             @jax.jit
             def fn(x):
@@ -113,29 +142,37 @@ class Exchange:
     def exchange(self, outbox: List[List[List[Tuple[int, ...]]]]
                  ) -> List[List[List[Tuple[int, ...]]]]:
         """outbox[src][dst] = list of tuples (<= W uint32 fields).
-        Returns inbox[dst][src] with the same rows."""
-        n, W = self.n, self.W
-        cap = max([1] + [len(outbox[s][d]) for s in range(n)
-                         for d in range(n)])
-        buf = np.zeros((n, n, cap, W), np.uint32)
-        cnt = np.zeros((n, n), np.int32)
-        for s in range(n):
+        Returns inbox[dst][src] with the same rows (order preserved)."""
+        n, W, cap = self.n, self.W, self.cap
+        inbox = [[[] for _ in range(n)] for _ in range(n)]
+        off = 0
+        pending = max(len(outbox[s][d]) for s in range(n)
+                      for d in range(n))
+        while True:
+            buf = np.zeros((n, n, cap, W), np.uint32)
+            cnt = np.zeros((n, n), np.int32)
+            for s in range(n):
+                for d in range(n):
+                    rows = outbox[s][d][off:off + cap]
+                    cnt[s, d] = len(rows)
+                    for i, r in enumerate(rows):
+                        for j, v in enumerate(r):
+                            buf[s, d, i, j] = np.uint32(v & 0xFFFFFFFF)
+            self.rounds += 1
+            self.bytes += int(buf.nbytes + cnt.nbytes)
+            if self.mesh is not None:
+                recv = self._device_a2a(buf)     # [dst][src][cap][W]
+            else:
+                recv = buf.transpose(1, 0, 2, 3)
+            rcnt = cnt.T
             for d in range(n):
-                rows = outbox[s][d]
-                cnt[s, d] = len(rows)
-                for i, r in enumerate(rows):
-                    for j, v in enumerate(r):
-                        buf[s, d, i, j] = np.uint32(v & 0xFFFFFFFF)
-        self.rounds += 1
-        self.bytes += int(buf.nbytes + cnt.nbytes)
-        if self.mesh is not None:
-            recv = self._device_a2a(buf)         # [dst][src][cap][W]
-        else:
-            recv = buf.transpose(1, 0, 2, 3)
-        rcnt = cnt.T
-        inbox = [[[tuple(int(x) for x in recv[d, s, i])
-                   for i in range(rcnt[d, s])]
-                  for s in range(n)] for d in range(n)]
+                for s in range(n):
+                    inbox[d][s].extend(
+                        tuple(int(x) for x in recv[d, s, i])
+                        for i in range(rcnt[d, s]))
+            off += cap
+            if off >= pending:
+                break
         return inbox
 
 
@@ -160,19 +197,37 @@ class PartitionedCleaner:
     """8-shard (or any pow2) partitioned clean() with halo exchange.
 
     Produces the same cleaned contig set as graph/clean.clean() with
-    pair_count=None (tips + low-cov + isolated + collapse to fixpoint);
-    differential-tested in tests/dist/test_halo.py."""
+    pair_count=None (tips + low-cov + isolated + bubbles + collapse to
+    fixpoint); differential-tested in tests/dist/test_halo.py."""
 
     def __init__(self, g: ContigGraph, n_shards: int, mesh=None):
         self.k = g.k
         self.n = n_shards
         self.ex = Exchange(n_shards, mesh)
         self.payload_bytes = 0
+        self.bubbles = 0
+        self.chimeric = 0
+        self.repaired = 0
+        # per-node claim counts gathered by each round's END_INFO pass
+        # (node owner view), consumed by the tip-anchor arbitration
+        self._claim_n: List[Dict[int, int]] = [
+            {} for _ in range(n_shards)]
         self.shards = [_Shard({}, {}) for _ in range(n_shards)]
-        self._mailbox: Dict[int, Contig] = {}  # host object plane
+        gid_of = {}
         for i in g.live():
             c = g.contigs[i]
-            self._add_contig(self._contig_owner(c), c)
+            gid_of[i] = self._add_contig(self._contig_owner(c), c,
+                                         register=False)
+        # replicate the HANDED registry exactly (build's registry is not
+        # pure last-writer-wins after repair_ports/port-clash surgery):
+        # each registered (node, slot) -> same contig on its owner shard
+        for node, d in g.ports.items():
+            code = _node_code(node, self.k)
+            own = _owner_of_code(code, self.n)
+            for slot, (ci, end) in d.items():
+                if ci in gid_of:
+                    self.shards[own].ports.setdefault(code, {})[slot] = (
+                        gid_of[ci], end)
 
     # ---- ownership -------------------------------------------------------
     def _contig_owner(self, c: Contig) -> int:
@@ -189,18 +244,22 @@ class PartitionedCleaner:
         s.serial += 1
         return gid
 
-    def _add_contig(self, shard: int, c: Contig) -> int:
+    def _add_contig(self, shard: int, c: Contig, register: bool = True
+                    ) -> int:
         gid = self._new_gid(shard)
         self.shards[shard].contigs[gid] = c
         # register ports at each end node's OWNER shard (direct insert:
-        # partition setup is a bulk load, not a per-round halo message)
-        for e, end in ((c.left, "L"), (c.right, "R")):
-            if e is None:
-                continue
-            code = _node_code(e.node, self.k)
-            own = _owner_of_code(code, self.n)
-            self.shards[own].ports.setdefault(code, {})[e.slot] = (gid,
-                                                                   end)
+        # partition setup is a bulk load, not a per-round halo message).
+        # register=False when the caller replicates a handed registry
+        # verbatim instead (see __init__)
+        if register:
+            for e, end in ((c.left, "L"), (c.right, "R")):
+                if e is None:
+                    continue
+                code = _node_code(e.node, self.k)
+                own = _owner_of_code(code, self.n)
+                self.shards[own].ports.setdefault(code, {})[e.slot] = (
+                    gid, end)
         return gid
 
     def _drop_ports_msgs(self, gid: int, c: Contig, out):
@@ -214,71 +273,9 @@ class PartitionedCleaner:
             out[src][own].append((3, hi, lo, e.slot, gid >> 32,
                                   gid & 0xFFFFFFFF))
 
-    # ---- the round -------------------------------------------------------
-    def _empty_out(self):
-        return [[[] for _ in range(self.n)] for _ in range(self.n)]
-
-    def round(self, max_tip_len: int, min_cov: float, do_tips: bool,
-              do_low_cov: bool, bubble_ratio: float = 0.25) -> int:
-        n, k = self.n, self.k
-        changed = 0
-
-        # -- 1/2: local kills + tip candidates to node owners ------------
-        out = self._empty_out()
-        local_kill: List[Dict[int, bool]] = [dict() for _ in range(n)]
-        for s in range(n):
-            for gid, c in self.shards[s].contigs.items():
-                if c.circular:
-                    continue
-                has_l, has_r = c.left is not None, c.right is not None
-                if do_low_cov and has_l and has_r and c.cov < min_cov:
-                    local_kill[s][gid] = True
-                elif (do_low_cov and not has_l and not has_r
-                      and len(c.seq) < 3 * k and c.cov < min_cov):
-                    local_kill[s][gid] = True
-                elif do_tips and (has_l ^ has_r) \
-                        and len(c.seq) < max_tip_len:
-                    e = c.left if has_l else c.right
-                    code = _node_code(e.node, k)
-                    own = _owner_of_code(code, n)
-                    hi, lo = _split64(code)
-                    out[s][own].append((1, hi, lo, gid >> 32,
-                                        gid & 0xFFFFFFFF))
-        inbox = self.ex.exchange(out)
-
-        # -- 2/3: anchor arbitration (keep-last rule) -> kill verdicts ---
-        out = self._empty_out()
-        for d in range(n):
-            by_node: Dict[int, List[int]] = {}
-            for src in range(n):
-                for m in inbox[d][src]:
-                    _, hi, lo, g1, g2 = m[:5]
-                    by_node.setdefault(_u64((hi, lo)), []).append(
-                        _u64((g1, g2)))
-            for code, gids in by_node.items():
-                total = len(self.shards[d].ports.get(code, {}))
-                others = total - len(gids)
-                gids.sort()
-                kill = gids if others >= 1 else gids[:-1]
-                for gid in kill:
-                    own = gid >> _GID_SHIFT
-                    out[d][own].append((2, gid >> 32, gid & 0xFFFFFFFF))
-        inbox = self.ex.exchange(out)
-
-        # -- 3/4: apply kills; port deletions to node owners -------------
-        out = self._empty_out()
-        for s in range(n):
-            kills = dict(local_kill[s])
-            for src in range(n):
-                for m in inbox[s][src]:
-                    kills[_u64((m[1], m[2]))] = True
-            for gid in kills:
-                c = self.shards[s].contigs.pop(gid)
-                self._drop_ports_msgs(gid, c, out)
-                changed += 1
-        inbox = self.ex.exchange(out)
-        for d in range(n):
-            for src in range(n):
+    def _apply_port_dels(self, inbox):
+        for d in range(self.n):
+            for src in range(self.n):
                 for m in inbox[d][src]:
                     _, hi, lo, slot, g1, g2 = m[:6]
                     code = _u64((hi, lo))
@@ -289,19 +286,229 @@ class PartitionedCleaner:
                         if not dslot:
                             del self.shards[d].ports[code]
 
+    # ---- the round -------------------------------------------------------
+    def _empty_out(self):
+        return [[[] for _ in range(self.n)] for _ in range(self.n)]
+
+    def _end_statuses(self) -> Dict[int, Dict[str, Tuple[int, float]]]:
+        """The effective-attachment handshake (mirrors clean._eff_ends
+        on partitioned state).
+
+        Every live contig sends END_INFO (tag 8) for each attached end
+        to the end node's owner; the arriving rows ARE the node's claim
+        map (clean._claims — every live end referencing the node,
+        registry-independent), so the owner replies END_STATUS (tag 9)
+        with n_other (CLAIMS at the node from a DIFFERENT contig) and
+        max_other_cov over those claims, exactly the sequential
+        classifier's ground-truth view (the registry is lossy under
+        (node, slot) clashes). The per-node claim counts are also
+        retained for this round's tip-anchor arbitration. Returns, per
+        contig owner view: {gid: {"L"|"R": (n_other, max_other_cov)}};
+        missing entry = end is None (unattached)."""
+        n, k = self.n, self.k
+        out = self._empty_out()
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                if c.circular:
+                    continue
+                for e, is_l in ((c.left, 1), (c.right, 0)):
+                    if e is None:
+                        continue
+                    code = _node_code(e.node, k)
+                    own = _owner_of_code(code, n)
+                    hi, lo = _split64(code)
+                    cv = _f64(c.cov)
+                    out[s][own].append((8, hi, lo, e.slot, gid >> 32,
+                                        gid & 0xFFFFFFFF, cv[0], cv[1],
+                                        is_l))
+        inbox = self.ex.exchange(out)
+        out = self._empty_out()
+        for d in range(n):
+            # per node: the querying ends and each registry port's cov
+            by_node: Dict[int, List[Tuple[int, int, int, float]]] = {}
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2, c0, c1, is_l = m[:9]
+                    by_node.setdefault(_u64((hi, lo)), []).append(
+                        (slot, _u64((g1, g2)), is_l, _unf64(c0, c1)))
+            claim_n = {}
+            for code, rows in by_node.items():
+                # the rows ARE the claim map (clean._claims): attachment
+                # and max-other-cov count every live end referencing the
+                # node, NOT the lossy (node, slot) registry
+                claim_n[code] = len(rows)
+                for slot, gid, is_l, _ in rows:
+                    others = [(g2, cv) for s2, g2, _, cv in rows
+                              if g2 != gid]
+                    n_other = len(others)
+                    moc = max((cv for _, cv in others), default=0.0)
+                    own = gid >> _GID_SHIFT
+                    mc = _f64(moc)
+                    out[d][own].append((9, gid >> 32, gid & 0xFFFFFFFF,
+                                        is_l, n_other, mc[0], mc[1]))
+            self._claim_n[d] = claim_n
+        inbox = self.ex.exchange(out)
+        status: Dict[int, Dict[str, Tuple[int, float]]] = {}
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, g1, g2, is_l, n_other, m0, m1 = m[:7]
+                    status.setdefault(_u64((g1, g2)), {})[
+                        "L" if is_l else "R"] = (n_other, _unf64(m0, m1))
+        return status
+
+    def round(self, max_tip_len: int, min_cov: float, do_tips: bool,
+              do_low_cov: bool, bubble_ratio: float = 0.25) -> int:
+        n, k = self.n, self.k
+        changed = 0
+
+        status = self._end_statuses()
+
+        # -- classify from the snapshot (mirrors clean._classify) --------
+        out = self._empty_out()
+        local_kill: List[Dict[int, bool]] = [dict() for _ in range(n)]
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                if c.circular:
+                    continue
+                st = status.get(gid, {})
+                eff = {e: v for e, v in st.items() if v[0] >= 1}
+                n_eff = len(eff)
+                L = len(c.seq)
+                if n_eff == 0:
+                    if do_low_cov and L < 3 * k \
+                            and c.cov <= ISO_COV_MULT * min_cov:
+                        local_kill[s][gid] = True
+                elif n_eff == 1:
+                    if do_tips and L < max_tip_len:
+                        end, (n_other, moc) = next(iter(eff.items()))
+                        if L >= 2 * k and c.cov >= TIP_KEEP_RATIO * moc:
+                            continue
+                        e = c.left if end == "L" else c.right
+                        code = _node_code(e.node, k)
+                        own = _owner_of_code(code, n)
+                        hi, lo = _split64(code)
+                        cv = _f64(c.cov)
+                        rk = _split64(seq_rank64(c.canonical_seq()))
+                        out[s][own].append((1, hi, lo, gid >> 32,
+                                            gid & 0xFFFFFFFF, cv[0],
+                                            cv[1], rk[0], rk[1], e.slot))
+                else:
+                    if do_low_cov and c.cov < min_cov:
+                        local_kill[s][gid] = True
+                    elif do_low_cov and bubble_ratio > 0 \
+                            and L < max_tip_len:
+                        # relative chimera rule (clean._classify): the
+                        # END_STATUS moc fields are the strongest OTHER
+                        # claim at each end — no extra exchange needed
+                        mo = min(eff["L"][1], eff["R"][1])
+                        if c.cov <= bubble_ratio * mo:
+                            local_kill[s][gid] = True
+                            self.chimeric += 1
+        inbox = self.ex.exchange(out)
+
+        # -- anchor arbitration (keep-strongest rule) -> kill verdicts ---
+        out = self._empty_out()
+        for d in range(n):
+            by_node: Dict[int, List[Tuple]] = {}
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, g1, g2, c0, c1, r0, r1, slot = m[:10]
+                    by_node.setdefault(_u64((hi, lo)), []).append(
+                        (_u64((g1, g2)), _unf64(c0, c1),
+                         _u64((r0, r1)), slot))
+            for code, cands in by_node.items():
+                # snapshot claim count from this round's END_INFO pass
+                # (mirrors _classify's `len(claims[node]) - len(js)`)
+                total = self._claim_n[d].get(code, 0)
+                others = total - len(cands)
+                if others >= 1:
+                    kill = [t[0] for t in cands]
+                else:
+                    keep = max(cands, key=lambda t: (t[1], t[2], t[3]))[0]
+                    kill = [t[0] for t in cands if t[0] != keep]
+                for gid in kill:
+                    own = gid >> _GID_SHIFT
+                    out[d][own].append((2, gid >> 32, gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+
+        # -- apply kills; port deletions to node owners ------------------
+        out = self._empty_out()
+        for s in range(n):
+            kills = dict(local_kill[s])
+            for src in range(n):
+                for m in inbox[s][src]:
+                    kills[_u64((m[1], m[2]))] = True
+            for gid in kills:
+                c = self.shards[s].contigs.pop(gid)
+                self._drop_ports_msgs(gid, c, out)
+                changed += 1
+        self._apply_port_dels(self.ex.exchange(out))
+
         if do_low_cov and bubble_ratio > 0:
-            changed += self._bubble_round(bubble_ratio)
+            nb = self._bubble_round(bubble_ratio)
+            self.bubbles += nb
+            changed += nb
+        nr = self._repair_round()
+        self.repaired += nr
+        changed += nr
         changed += self._collapse_round()
         return changed
 
+    def _repair_round(self) -> int:
+        """Mirror of clean.repair_ports: every live contig asserts its
+        ends (tag 12) to the node owner; the owner registers the
+        strongest (cov, seq_rank64) claimant into each EMPTY slot —
+        kills can orphan clash-hidden survivor ports, and collapse needs
+        the repaired registry to see 1-1 nodes. Occupied slots are never
+        touched (same setdefault-on-empty semantics as the sequential
+        pass)."""
+        n, k = self.n, self.k
+        out = self._empty_out()
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                for e, is_l in ((c.left, 1), (c.right, 0)):
+                    if e is None:
+                        continue
+                    code = _node_code(e.node, k)
+                    own = _owner_of_code(code, n)
+                    hi, lo = _split64(code)
+                    cv = _f64(c.cov)
+                    rk = _split64(seq_rank64(c.canonical_seq()))
+                    out[s][own].append((12, hi, lo, e.slot, gid >> 32,
+                                        gid & 0xFFFFFFFF, cv[0], cv[1],
+                                        rk[0], rk[1], is_l))
+        inbox = self.ex.exchange(out)
+        repaired = 0
+        for d in range(n):
+            cands: Dict[Tuple[int, int], List[Tuple]] = {}
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2, c0, c1, r0, r1, is_l = m[:11]
+                    code = _u64((hi, lo))
+                    if slot in self.shards[d].ports.get(code, {}):
+                        continue
+                    cands.setdefault((code, slot), []).append(
+                        (_unf64(c0, c1), _u64((r0, r1)),
+                         _u64((g1, g2)), is_l))
+            for (code, slot), rows in cands.items():
+                cov, rk, gid, is_l = max(rows)
+                self.shards[d].ports.setdefault(code, {})[slot] = (
+                    gid, "L" if is_l else "R")
+                repaired += 1
+        return repaired
+
     def _bubble_round(self, ratio: float) -> int:
         """Relative-coverage bubble popping, partitioned: each JJ contig
-        reports (node-pair, cov) to the pair's arbiter shard (owner of
-        the smaller node code); the arbiter applies clean.pop_bubbles'
-        rule and returns kill verdicts. cov rides as a float64 bit
-        pattern, so thresholds match the sequential pass exactly."""
-        import struct
-
+        reports (node-pair, cov, len, rank) to the pair's arbiter shard
+        (owner of the smaller node code); the arbiter applies
+        clean.pop_bubbles' FULL rule — (cov, seq_rank64) top-arm pick,
+        `cov <= ratio*top` kill, and the EQLEN_RATIO equal-length kill —
+        and returns kill verdicts. Survivors of popped groups then
+        re-register their ports with setdefault semantics (two extra
+        exchanges), matching the sequential pass's post-kill
+        re-registration. cov rides as a float64 bit pattern, so
+        thresholds match the sequential pass exactly."""
         n, k = self.n, self.k
         out = self._empty_out()
         for s in range(n):
@@ -313,51 +520,82 @@ class PartitionedCleaner:
                 arb = _owner_of_code(min(ca, cb), n)
                 ha, la = _split64(ca)
                 hb, lb = _split64(cb)
-                cv = struct.unpack("<II", struct.pack("<d", c.cov))
+                cv = _f64(c.cov)
+                rk = _split64(seq_rank64(c.canonical_seq()))
                 out[s][arb].append((7, ha, la, hb, lb, cv[0], cv[1],
-                                    gid >> 32, gid & 0xFFFFFFFF))
+                                    gid >> 32, gid & 0xFFFFFFFF,
+                                    len(c.seq), rk[0], rk[1]))
         inbox = self.ex.exchange(out)
         out = self._empty_out()
         for d in range(n):
-            groups: Dict[Tuple[int, int], List[Tuple[float, int]]] = {}
+            groups: Dict[Tuple[int, int], List[Tuple]] = {}
             for src in range(n):
                 for m in inbox[d][src]:
-                    _, ha, la, hb, lb, c0, c1, g1, g2 = m[:9]
-                    cov = struct.unpack("<d", struct.pack("<II", c0,
-                                                          c1))[0]
+                    _, ha, la, hb, lb, c0, c1, g1, g2, ln, r0, r1 = m[:12]
                     groups.setdefault((_u64((ha, la)), _u64((hb, lb))),
-                                      []).append((cov, _u64((g1, g2))))
+                                      []).append(
+                        (_unf64(c0, c1), _u64((g1, g2)), ln,
+                         _u64((r0, r1))))
             for arms in groups.values():
                 if len(arms) < 2:
                     continue
-                top = max(c for c, _ in arms)
-                for cov, gid in arms:
-                    if cov <= ratio * top:
-                        own = gid >> _GID_SHIFT
-                        out[d][own].append((2, gid >> 32,
-                                            gid & 0xFFFFFFFF))
+                top_j = max(range(len(arms)),
+                            key=lambda j: (arms[j][0], arms[j][3]))
+                top = arms[top_j][0]
+                top_len = arms[top_j][2]
+                g_kill = [gid for j, (cov, gid, ln, _) in enumerate(arms)
+                          if j != top_j and (
+                              cov <= ratio * top
+                              or (ln == top_len
+                                  and cov <= EQLEN_RATIO * top))]
+                for gid in g_kill:
+                    own = gid >> _GID_SHIFT
+                    out[d][own].append((2, gid >> 32, gid & 0xFFFFFFFF))
+                if g_kill:
+                    for cov, gid, ln, _ in arms:
+                        if gid not in g_kill:
+                            own = gid >> _GID_SHIFT
+                            out[d][own].append((10, gid >> 32,
+                                                gid & 0xFFFFFFFF))
         inbox = self.ex.exchange(out)
         out = self._empty_out()
         killed = 0
+        survivors: List[List[int]] = [[] for _ in range(n)]
         for s in range(n):
             gids = {_u64((m[1], m[2])) for src in range(n)
-                    for m in inbox[s][src]}
+                    for m in inbox[s][src] if m[0] == 2}
             for gid in gids:
                 c = self.shards[s].contigs.pop(gid)
                 self._drop_ports_msgs(gid, c, out)
                 killed += 1
+            survivors[s] = [
+                _u64((m[1], m[2])) for src in range(n)
+                for m in inbox[s][src]
+                if m[0] == 10 and _u64((m[1], m[2])) not in gids]
+        self._apply_port_dels(self.ex.exchange(out))
+        # survivor re-registration (setdefault at the node owner)
+        out = self._empty_out()
+        for s in range(n):
+            for gid in survivors[s]:
+                c = self.shards[s].contigs.get(gid)
+                if c is None:
+                    continue
+                for e, is_l in ((c.left, 1), (c.right, 0)):
+                    if e is None:
+                        continue
+                    code = _node_code(e.node, self.k)
+                    own = _owner_of_code(code, self.n)
+                    hi, lo = _split64(code)
+                    out[s][own].append((11, hi, lo, e.slot, gid >> 32,
+                                        gid & 0xFFFFFFFF, is_l))
         inbox = self.ex.exchange(out)
         for d in range(n):
             for src in range(n):
                 for m in inbox[d][src]:
-                    _, hi, lo, slot, g1, g2 = m[:6]
+                    _, hi, lo, slot, g1, g2, is_l = m[:7]
                     code = _u64((hi, lo))
-                    dslot = self.shards[d].ports.get(code)
-                    if dslot and dslot.get(slot, (None,))[0] == \
-                            _u64((g1, g2)):
-                        del dslot[slot]
-                        if not dslot:
-                            del self.shards[d].ports[code]
+                    self.shards[d].ports.setdefault(code, {}).setdefault(
+                        slot, (_u64((g1, g2)), "L" if is_l else "R"))
         return killed
 
     # ---- collapse with per-contig conflict resolution -------------------
@@ -379,12 +617,9 @@ class PartitionedCleaner:
                                   (slots[1], g2, e2)))
         # conflict resolution: a contig joins at most one merge per
         # round; the proposal with the smallest (hash-ordered) node code
-        # wins. Deterministic and shard-independent: every proposer
-        # knows both gids, so the winner can be computed globally from
-        # the proposal list each shard already has locally... but shards
-        # only see their OWN proposals — route each proposal to both
-        # contigs' owners, owners pick the minimum-code proposal per
-        # contig, and a proposal proceeds iff it won at BOTH contigs.
+        # wins. Deterministic and shard-independent: route each proposal
+        # to both contigs' owners, owners pick the minimum-code proposal
+        # per contig, and a proposal proceeds iff it won at BOTH contigs.
         out = self._empty_out()
         for (d, code, (rs, gr, er), (ls, gl, el)) in proposals:
             hi, lo = _split64(code)
@@ -392,7 +627,7 @@ class PartitionedCleaner:
                 own = gid >> _GID_SHIFT
                 out[d][own].append((4, hi, lo, d, rs, gr >> 32,
                                     gr & 0xFFFFFFFF))
-                # W=8 limit: second contig rides a paired row
+                # second contig rides a paired row
                 out[d][own].append((5, hi, lo, d, ls, gl >> 32,
                                     gl & 0xFFFFFFFF))
         inbox = self.ex.exchange(out)
@@ -507,6 +742,8 @@ class PartitionedCleaner:
             if ch == 0:
                 break
         return {"rounds": rounds, "exchanges": self.ex.rounds,
+                "bubbles": self.bubbles, "chimeric": self.chimeric,
+                "repaired": self.repaired,
                 "collective_bytes": self.ex.bytes,
                 "payload_bytes": self.payload_bytes}
 

@@ -199,24 +199,43 @@ def _scan_local(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
 
     def jfn(st, cm, ps):
         tbl, dr = st
-        jhi, jlo, cov8, dist8, words = ps
-        jp = {"hi": jhi, "lo": jlo, "cov8": cov8, "dist8": dist8}
+        jhi, jlo, exs, ens, exd, end_, exo, eno, words = ps
+        # route the SLIM slot/dist/flag fields (slots+flags packed into
+        # one u32, dists into another: 8 B/lane instead of the 48 B/lane
+        # dense cov8+dist8 rows) and expand to one-hot update rows at
+        # the OWNER shard right before the upsert (VERDICT r3 #2)
+        packed = (exs.astype(jnp.uint32)
+                  | (ens.astype(jnp.uint32) << 3)
+                  | (exo.astype(jnp.uint32) << 6)
+                  | (eno.astype(jnp.uint32) << 7))
+        dists = (exd.astype(jnp.uint32) & 0xFFFF) \
+            | ((end_.astype(jnp.uint32) & 0xFFFF) << 16)
+        jp = {"hi": jhi, "lo": jlo, "sf": packed, "dd": dists}
         if wide:
             jp["words"] = words
+
+        def consume(t, recv, rmask):
+            sf, dd = recv["sf"], recv["dd"]
+            cov8, dist8 = SC.cov_dist8(
+                (sf & 7).astype(I32), ((sf >> 3) & 7).astype(I32),
+                (dd & 0xFFFF).astype(I32), (dd >> 16).astype(I32),
+                (sf >> 6) & 1 > 0, (sf >> 7) & 1 > 0)
+            return T.upsert(
+                t, recv["hi"], recv["lo"],
+                (cov8, dist8) + ((recv["words"],) if wide else ()),
+                rmask, modes=("add", "max") + (("max",) if wide else ()))
+
         tbl, un = R.route_consume(
             jp, _owner(jhi, jlo, shard_bits), cm, n_shards, K,
-            lambda t, recv, rmask: T.upsert(
-                t, recv["hi"], recv["lo"],
-                (recv["cov8"], recv["dist8"])
-                + ((recv["words"],) if wide else ()), rmask,
-                modes=("add", "max") + (("max",) if wide else ())),
-            tbl)
+            consume, tbl)
         return tbl, dr + un
 
     (junctions, jdrop), _ = SC.upsert_rounds(
         flat(u.is_junc), K,
-        (flat(u.key_hi), flat(u.key_lo), flat(u.cov8), flat(u.dist8),
-         flat(u.words)), jfn, (junctions, jnp.zeros((), I32)), sync=sync)
+        (flat(u.key_hi), flat(u.key_lo), flat(u.ex_slot),
+         flat(u.en_slot), flat(u.ex_dist), flat(u.en_dist),
+         flat(u.exit_ok), flat(u.entry_ok), flat(u.words)),
+        jfn, (junctions, jnp.zeros((), I32)), sync=sync)
 
     def sfn(st, cm, ps):
         tbl, dr = st

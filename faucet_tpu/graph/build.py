@@ -455,9 +455,13 @@ class GraphBuilder:
         g = ContigGraph(k, list(by_key.values()))
         # repair merged walks (missed-junction port clashes) before the
         # graph is handed to cleaning — see clean.resolve_port_clashes
-        from faucet_tpu.graph.clean import resolve_port_clashes
+        from faucet_tpu.graph.clean import (repair_ports,
+                                            resolve_port_clashes)
 
         resolve_port_clashes(g)
+        # surgery drops/rebuilds claimants; any end left pointing at an
+        # empty (node, slot) re-registers so cleaning sees true degrees
+        repair_ports(g)
         return g
 
     def _pass1_contig(self, node: str, slot: int, cov8, dist8, out, i,

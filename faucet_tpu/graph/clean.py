@@ -12,9 +12,11 @@ recorded dist/caps. So "FP pruning" is structural here rather than a
 separate pass (SURVEY.md §7.1 divergence note).
 
 Scale (VERDICT r1 #8): the delete passes (tips, chimeras, islands) —
-the bulk of every round's work — run VECTORIZED over numpy views of the
-graph (`_delete_round`), exactly reproducing the sequential semantics
-(including the per-anchor keep-the-last-tip rule). Node collapse walks
+the bulk of every round's work — classify from ONE round-start snapshot
+(`_classify`) and apply kills together (`_delete_round`); snapshot
+semantics make the host pass, the scalar passes, and the partitioned
+halo cleaner provably agree (including the per-anchor keep-strongest-tip
+rule). Node collapse walks
 the 1-1 node list once per round. Distributed pre-cleaning for
 metagenome-scale graphs: the sharded pipeline can prune junction slots
 below a coverage floor on device BEFORE walking (dist/sharded.py
@@ -29,103 +31,221 @@ import numpy as np
 from faucet_tpu.graph.model import ContigGraph
 
 
-def clip_tips(g: ContigGraph, max_tip_len: int) -> int:
-    """Delete short dead-end stubs hanging off junction nodes."""
-    removed = 0
+TIP_KEEP_RATIO = 0.8   # tips >= 2k keeping >= ratio x the anchor's
+#                        strongest other arm are real coverage (e.g.
+#                        genome-terminal stubs cut off by a spurious
+#                        junction) and survive the length rule
+ISO_COV_MULT = 2.0     # isolated-contig cov is an end-ANCHOR count
+#                        (~2 anchors per read), not a depth: the kill
+#                        threshold doubles accordingly
+
+
+def _claims(g: ContigGraph):
+    """node -> [(ci, end, slot)]: EVERY live contig end referencing the
+    node, independent of the port registry. The registry is lossy —
+    (node, slot) registration is last-writer-wins, so a clash hides one
+    claimant, and removing the registered claimant orphans the other.
+    Classification decisions must come from this ground-truth view or
+    true segments flanked by clash-hidden ports look dangling and get
+    killed as tips (the round-4 Mbp-scale break mode: contigs 850/1717
+    in bench/diagnose_breaks, each killed at cov 13-23x)."""
+    m = {}
+    for i in g.live():
+        c = g.contigs[i]
+        for e, end in ((c.left, "L"), (c.right, "R")):
+            if e is not None:
+                m.setdefault(e.node, []).append((i, end, e.slot))
+    return m
+
+
+def _eff_ends(g: ContigGraph, i: int, claims=None):
+    """Effective attachment of contig i's two ends (round-4 rule).
+
+    An end whose node carries NO other live contig end is DANGLING — the
+    "junction" exists only because this contig ends there (a ghost node:
+    Bloom-fp/error junction whose other arms were cleaned away, or a
+    port-clash surgery remnant). Dangling ends classify as open, which
+    is what lets the tip/isolated rules see through ghost nodes — the
+    round-3 Mbp-scale failure mode (every surviving error contig at
+    1 Mbp had a degree-1 ghost node on one end; bench/diagnose_breaks).
+    Attachment counts CLAIMS (contig End records), not registry ports —
+    see _claims.
+
+    Returns (eff_left, eff_right): each None or the End."""
+    if claims is None:
+        claims = _claims(g)
+    c = g.contigs[i]
+    out = []
+    for e in (c.left, c.right):
+        if e is None:
+            out.append(None)
+            continue
+        n_other = sum(1 for ci, _, _ in claims.get(e.node, ())
+                      if ci != i)
+        out.append(e if n_other >= 1 else None)
+    return out[0], out[1]
+
+
+def _classify(g: ContigGraph, max_tip_len: int, min_cov: float,
+              do_tips: bool, do_low_cov: bool,
+              chim_ratio: float = 0.0):
+    """ONE-SNAPSHOT classification of the three delete rules. All kill
+    sets are computed from the round-start state (no mutation-order
+    dependence), which is what makes the vectorized host pass, the
+    scalar passes, and the partitioned halo cleaner provably agree
+    (tests/unit/test_cleanvec.py, tests/dist/test_halo.py).
+
+    Rules (SURVEY.md §A.7a/b; reference deleteTipsAndClean +
+    removeChimericExtensions, ref:src/ContigGraph.cpp [C:med]):
+      TIP      exactly one effectively-attached end, len < max_tip_len.
+               Tips >= 2k bases also need cov < TIP_KEEP_RATIO x the
+               anchor's strongest other arm (a high-cov long stub is
+               real sequence, not an error path). Per anchor, if
+               killing every candidate would strip the node bare, the
+               strongest candidate (cov, then seq_rank64, then slot)
+               survives.
+      LOW-COV  both ends effectively attached, cov < min_cov; OR (the
+               RELATIVE chimera rule, reference
+               removeChimericExtensions, SURVEY.md §A.7b): len <
+               max_tip_len and cov <= chim_ratio x the strongest OTHER
+               claim at EACH end. Error paths that skip a junction run
+               parallel to a multi-contig true path, so pop_bubbles'
+               same-node-pair grouping never sees them, and at ~2
+               occurrences they sit exactly AT the absolute min_cov
+               floor (strict <) — the relative rule keys on the 10x
+               coverage gap to the flanking true arms instead. The
+               length guard keeps unique low-copy regions between
+               high-copy repeats alive.
+      ISOLATED no effectively-attached end, len < 3k,
+               cov <= ISO_COV_MULT * min_cov (INCLUSIVE: the dominant
+               island class — a doubled error k-mer seen exactly twice
+               — yields exactly 2 anchors x 2 reads = 4.0 end-anchors,
+               exactly AT the default 2 x 2.0 threshold).
+
+    Returns (tip_idxs, lowcov_idxs, chimeric_idxs, iso_idxs) as lists
+    of graph indices.
+    """
+    k = g.k
+    lowcov, chim, iso = [], [], []
+    tip_cand = {}  # anchor node -> [(idx, cov, rank, slot)]
+    claims = _claims(g)
     for i in g.live():
         c = g.contigs[i]
         if c.circular:
             continue
-        n_attached = (c.left is not None) + (c.right is not None)
-        if n_attached != 1 or len(c.seq) >= max_tip_len:
-            continue
-        e = c.left if c.left is not None else c.right
-        # only a tip if the anchor node keeps other structure
-        r, l = g.node_degree(e.node)
-        if r + l <= 1:
-            continue
+        el, er = _eff_ends(g, i, claims)
+        n_eff = (el is not None) + (er is not None)
+        L = len(c.seq)
+        if n_eff == 0:
+            if do_low_cov and L < 3 * k \
+                    and c.cov <= ISO_COV_MULT * min_cov:
+                iso.append(i)
+        elif n_eff == 1:
+            if do_tips and L < max_tip_len:
+                e = el if el is not None else er
+                if L >= 2 * k:
+                    mo = max(g.contigs[ci].cov for ci, _, _
+                             in claims[e.node] if ci != i)
+                    if c.cov >= TIP_KEEP_RATIO * mo:
+                        continue
+                tip_cand.setdefault(e.node, []).append(
+                    (i, c.cov, seq_rank64(c.canonical_seq()), e.slot))
+        else:
+            if do_low_cov and c.cov < min_cov:
+                lowcov.append(i)
+            elif do_low_cov and chim_ratio > 0 and L < max_tip_len:
+                sa = max((g.contigs[ci].cov for ci, _, _
+                          in claims[el.node] if ci != i), default=0.0)
+                sb = max((g.contigs[ci].cov for ci, _, _
+                          in claims[er.node] if ci != i), default=0.0)
+                if c.cov <= chim_ratio * min(sa, sb):
+                    chim.append(i)
+    tips = []
+    for node, js in tip_cand.items():
+        others = len(claims[node]) - len(js)
+        if others >= 1:
+            tips.extend(i for i, _, _, _ in js)
+        else:
+            keep = max(js, key=lambda t: (t[1], t[2], t[3]))[0]
+            tips.extend(i for i, _, _, _ in js if i != keep)
+    return sorted(tips), lowcov, chim, iso
+
+
+def clip_tips(g: ContigGraph, max_tip_len: int) -> int:
+    """Delete short dead-end stubs (snapshot semantics: see _classify)."""
+    tips, _, _, _ = _classify(g, max_tip_len, 0.0, True, False)
+    for i in tips:
         g.remove_contig(i)
-        removed += 1
-    return removed
+    return len(tips)
 
 
 def drop_low_cov(g: ContigGraph, min_cov: float) -> int:
-    """Delete low-coverage contigs that bridge junctions (chimeras)."""
-    removed = 0
-    for i in g.live():
-        c = g.contigs[i]
-        if c.circular or c.left is None or c.right is None:
-            continue
-        if c.cov < min_cov:
-            g.remove_contig(i)
-            removed += 1
-    return removed
+    """Delete low-coverage contigs bridging junctions (chimeras)."""
+    _, lowcov, _, _ = _classify(g, 0, min_cov, False, True)
+    for i in lowcov:
+        g.remove_contig(i)
+    return len(lowcov)
 
 
 def drop_short_isolated(g: ContigGraph, min_cov: float) -> int:
     """Delete tiny isolated linear contigs (doubled-error islands): no
-    junction on either end, shorter than 3k, below the cov threshold.
-    Long isolated contigs (plasmids, junction-free components) are kept
-    regardless of cov — pass-2 sink cov is an end-anchor count, not depth.
-    """
-    removed = 0
-    for i in g.live():
-        c = g.contigs[i]
-        if c.circular or c.left is not None or c.right is not None:
-            continue
-        if len(c.seq) < 3 * g.k and c.cov < min_cov:
-            g.remove_contig(i)
-            removed += 1
-    return removed
+    effectively-attached end, shorter than 3k, at or below ISO_COV_MULT
+    x the cov threshold (isolated cov is an end-anchor count ~2x read
+    depth). Long isolated contigs (plasmids, junction-free components)
+    are kept regardless of cov."""
+    _, _, _, iso = _classify(g, 0, min_cov, False, True)
+    for i in iso:
+        g.remove_contig(i)
+    return len(iso)
 
 
 def _delete_round(g: ContigGraph, max_tip_len: int, min_cov: float,
-                  do_tips: bool, do_low_cov: bool):
-    """One vectorized round of the three delete passes. Bit-equivalent
-    to clip_tips + drop_low_cov + drop_short_isolated run in sequence
-    (differential-tested in tests/unit/test_cleanvec.py)."""
-    idxs = np.asarray(g.live(), np.int64)
-    n = len(idxs)
-    if n == 0:
-        return 0, 0, 0
-    cs = [g.contigs[i] for i in idxs]
-    circ = np.fromiter((c.circular for c in cs), bool, n)
-    lens = np.fromiter((len(c.seq) for c in cs), np.int64, n)
-    cov = np.fromiter((c.cov for c in cs), np.float64, n)
-    has_l = np.fromiter((c.left is not None for c in cs), bool, n)
-    has_r = np.fromiter((c.right is not None for c in cs), bool, n)
+                  do_tips: bool, do_low_cov: bool,
+                  chim_ratio: float = 0.0):
+    """One snapshot round of the three delete rules (_classify), kills
+    applied together after classification. Differential-tested against
+    an independent reference classifier in tests/unit/test_cleanvec.py."""
+    tips, lowcov, chim, iso = _classify(g, max_tip_len, min_cov,
+                                        do_tips, do_low_cov, chim_ratio)
+    for i in tips:
+        g.remove_contig(i)
+    for i in lowcov:
+        g.remove_contig(i)
+    for i in chim:
+        g.remove_contig(i)
+    for i in iso:
+        g.remove_contig(i)
+    return len(tips), len(lowcov), len(chim), len(iso)
 
-    n_tips = 0
-    kill = np.zeros(n, bool)
-    if do_tips:
-        one_end = has_l ^ has_r
-        cand = ~circ & one_end & (lens < max_tip_len)
-        # per-anchor sequential rule: tips are removed while the anchor
-        # keeps >= 2 ports; with T tip candidates and O other ports the
-        # scalar loop removes all T when O >= 1, else the first T-1
-        # (index order) — the LAST candidate survives
-        by_anchor = {}
-        for j in np.nonzero(cand)[0]:
-            c = cs[j]
-            e = c.left if c.left is not None else c.right
-            by_anchor.setdefault(e.node, []).append(j)
-        for node, js in by_anchor.items():
-            total = len(g.ports.get(node, {}))
-            others = total - len(js)
-            keep = js if others >= 1 else js[:-1]
-            for j in keep:
-                kill[j] = True
-        n_tips = int(kill.sum())
 
-    lc_kill = np.zeros(n, bool)
-    iso_kill = np.zeros(n, bool)
-    if do_low_cov:
-        lc_kill = ~kill & ~circ & has_l & has_r & (cov < min_cov)
-        iso_kill = (~kill & ~circ & ~has_l & ~has_r
-                    & (lens < 3 * g.k) & (cov < min_cov))
-    for j in np.nonzero(kill | lc_kill | iso_kill)[0]:
-        g.remove_contig(int(idxs[j]))
-    return n_tips, int(lc_kill.sum()), int(iso_kill.sum())
+def repair_ports(g: ContigGraph) -> int:
+    """Re-register orphaned contig ends into EMPTY registry slots.
+
+    (node, slot) registration is last-writer-wins; when the registered
+    claimant of a clashed slot is removed (a tip kill, a bubble pop, a
+    port-clash containment drop), the surviving claimant's end is left
+    unregistered — the node looks one-ported, collapse can't fire, and
+    the next classify round misreads attachment. Runs after each kill
+    phase; where several orphans claim one empty slot (a still-live
+    clash), the strongest (cov, seq_rank64) claimant registers — a
+    content-based order the partitioned cleaner (dist/halo.py) can
+    replicate without graph indices. Occupied slots are never touched."""
+    by_slot = {}
+    for i in g.live():
+        c = g.contigs[i]
+        for e, end in ((c.left, "L"), (c.right, "R")):
+            if e is None:
+                continue
+            d = g.ports.get(e.node, {})
+            if e.slot not in d:
+                by_slot.setdefault((e.node, e.slot), []).append(
+                    (c.cov, seq_rank64(c.canonical_seq()), i, end))
+    n = 0
+    for (node, slot), cands in by_slot.items():
+        cov, rk, i, end = max(cands)
+        g.ports.setdefault(node, {})[slot] = (i, end)
+        n += 1
+    return n
 
 
 def resolve_port_clashes(g: ContigGraph) -> int:
@@ -191,6 +311,16 @@ def resolve_port_clashes(g: ContigGraph) -> int:
                                key=lambda t: (len(t[1]),
                                               g.contigs[t[0]].cov, t[1]))
                 g.remove_contig(shortest[0])
+                # removing the REGISTERED claimant would orphan the
+                # survivors (last-writer-wins registry): re-register the
+                # strongest remaining claimant at the clashed port
+                rest = [(i, end) for (i, end) in lst
+                        if i != shortest[0] and not g.contigs[i].deleted]
+                if rest and slot not in g.ports.get(node, {}):
+                    best = max(rest, key=lambda t: (
+                        g.contigs[t[0]].cov,
+                        seq_rank64(g.contigs[t[0]].canonical_seq())))
+                    g.ports.setdefault(node, {})[slot] = best
                 fixed += 1
                 progressed = True
                 continue
@@ -258,7 +388,13 @@ def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
 
     Ports clashed by such duplicated tails (two arms entering the same
     (node, slot); registration is last-writer-wins) are re-registered
-    for the surviving arms so collapse can proceed."""
+    for the surviving arms so collapse can proceed.
+
+    Snapshot semantics (round 4): ALL groups classify from the
+    round-start state, then every kill applies, then survivors of
+    popped groups re-register — so the partitioned halo cleaner's
+    batched exchanges produce the identical registry by construction
+    (no cross-group insertion-order dependence)."""
     arms = {}
     for i in g.live():
         c = g.contigs[i]
@@ -266,7 +402,7 @@ def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
             continue
         key = tuple(sorted((c.left.node, c.right.node)))
         arms.setdefault(key, []).append(i)
-    removed = 0
+    kills, resurvey = [], []
     for idxs in arms.values():
         if len(idxs) < 2:
             continue
@@ -276,26 +412,21 @@ def pop_bubbles(g: ContigGraph, ratio: float = 0.25) -> int:
                                    seq_rank64(cs[j].canonical_seq())))
         top = cs[top_i].cov
         top_len = len(cs[top_i].seq)
-        survivors = []
-        killed_here = 0
-        for j, i in enumerate(idxs):
-            c = cs[j]
-            kill = j != top_i and (
-                c.cov <= ratio * top
-                or (len(c.seq) == top_len and c.cov <= EQLEN_RATIO * top))
-            if kill:
-                g.remove_contig(i)
-                killed_here += 1
-            else:
-                survivors.append(i)
-        removed += killed_here
-        if killed_here and len(survivors) >= 1:
-            for i in survivors:
-                c = g.contigs[i]
-                for e, end in ((c.left, "L"), (c.right, "R")):
-                    g.ports.setdefault(e.node, {}).setdefault(
-                        e.slot, (i, end))
-    return removed
+        g_kill = [i for j, i in enumerate(idxs)
+                  if j != top_i and (
+                      cs[j].cov <= ratio * top
+                      or (len(cs[j].seq) == top_len
+                          and cs[j].cov <= EQLEN_RATIO * top))]
+        if g_kill:
+            kills.extend(g_kill)
+            resurvey.extend(i for i in idxs if i not in g_kill)
+    for i in kills:
+        g.remove_contig(i)
+    for i in resurvey:
+        c = g.contigs[i]
+        for e, end in ((c.left, "L"), (c.right, "R")):
+            g.ports.setdefault(e.node, {}).setdefault(e.slot, (i, end))
+    return len(kills)
 
 
 def collapse_all(g: ContigGraph) -> int:
@@ -475,23 +606,30 @@ def clean(g: ContigGraph, max_tip_len: int = 200, min_cov: float = 2.0,
           max_rounds: int = 64, bubble_ratio: float = 0.25) -> dict:
     """Iterate passes to fixpoint; then disentangle once with paired-end
     evidence (if provided) and re-clean. Returns pass counters."""
-    stats = {"tips": 0, "low_cov": 0, "isolated": 0, "bubbles": 0,
-             "collapsed": 0, "disentangled": 0, "rounds": 0}
+    stats = {"tips": 0, "low_cov": 0, "chimeric": 0, "isolated": 0,
+             "bubbles": 0, "collapsed": 0, "repaired": 0,
+             "disentangled": 0, "rounds": 0}
 
     def fixpoint():
         for _ in range(max_rounds):
-            nt, nl, ni = _delete_round(g, max_tip_len, min_cov, do_tips,
-                                       do_low_cov)
+            nt, nl, nch, ni = _delete_round(g, max_tip_len, min_cov,
+                                            do_tips, do_low_cov,
+                                            chim_ratio=bubble_ratio)
             stats["tips"] += nt
             stats["low_cov"] += nl
+            stats["chimeric"] += nch
             stats["isolated"] += ni
             nb = pop_bubbles(g, bubble_ratio) if (
                 do_low_cov and bubble_ratio > 0) else 0
             stats["bubbles"] += nb
+            # kills can orphan clash-hidden survivor ports; repair
+            # before collapse so 1-1 nodes with a repaired port merge
+            nr = repair_ports(g)
+            stats["repaired"] += nr
             nc = collapse_all(g)
             stats["collapsed"] += nc
             stats["rounds"] += 1
-            if not (nt + nl + ni + nb + nc):
+            if not (nt + nl + nch + ni + nb + nc + nr):
                 break
 
     fixpoint()
