@@ -49,9 +49,16 @@ def decode_seq(codes) -> str:
     return _CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
 
 
+_RC_TABLE = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
 def revcomp_seq(seq: str) -> str:
-    c = encode_seq(seq)[::-1]
-    return decode_seq(np.where(c < 4, 3 - c, c))
+    # str.translate is ~10x faster than the numpy encode/decode round
+    # trip for k-mer-sized strings (round-4 profile: 43M calls = 390 s
+    # of a 2 Mbp quality run); non-ACGT characters pass through
+    # unchanged, matching the previous where(c < 4) behavior for N=4
+    # codes' decode ("N").
+    return seq.translate(_RC_TABLE)[::-1]
 
 
 def pack_reads(seqs, max_len: int):
@@ -112,6 +119,19 @@ def neighbor_keys_np(keys: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+_POW4_CACHE = {}
+
+
+def _POW4(k: int) -> np.ndarray:
+    """[k] uint64 place values 4**(k-1-j) for window packing."""
+    p = _POW4_CACHE.get(k)
+    if p is None:
+        p = np.uint64(1) << (np.uint64(2)
+                             * np.arange(k - 1, -1, -1, dtype=np.uint64))
+        _POW4_CACHE[k] = p
+    return p
+
+
 def encode_windows_np(seq: str, k: int) -> np.ndarray:
     """Canonical codes of every k-window of a host string, vectorized
     (uint64[len(seq)-k+1]). Replaces per-window Python encode/canon in
@@ -120,9 +140,19 @@ def encode_windows_np(seq: str, k: int) -> np.ndarray:
     n = len(seq) - k + 1
     if n <= 0:
         return np.zeros((0,), np.uint64)
-    v = np.zeros((n,), np.uint64)
-    for j in range(k):
-        v = (v << np.uint64(2)) | t[j : j + n].astype(np.uint64)
+    if n < 4 * k:
+        # short strings (error-island contigs, trims): the k-step loop
+        # pays ~2k numpy dispatches; a [n, k] window matrix needs 3
+        # (round-4 profile: 13 s of a 98 s graph build was this loop
+        # over ~60 bp junk contigs)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(t, k).astype(np.uint64)
+        v = (win * _POW4(k)[None, :]).sum(axis=1, dtype=np.uint64)
+    else:
+        v = np.zeros((n,), np.uint64)
+        for j in range(k):
+            v = (v << np.uint64(2)) | t[j : j + n].astype(np.uint64)
     return np.minimum(v, revcomp_code_np(v, k))
 
 

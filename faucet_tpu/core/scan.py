@@ -52,13 +52,16 @@ def _row_runs(solid, is_junc):
     run_junc_total), all [B, P] int32; *_junc_idx are -1 when absent,
     strictly before/after the position within its run.
 
-    Formulated as cumulative max/min + row gathers instead of two
-    lax.scans over P: the scans cost ~200 us dispatch per step on this
-    chip (round-2 profile) while XLA's log-depth cumulative ops run the
-    whole grid in ~1 ms. Semantics are bit-identical to the sequential
-    recurrence (incl. run-start resets and the strictly-before/after
-    junction indexing), verified lane-for-lane in
-    tests/unit/test_scan_runs.py.
+    Formulated as cumulative max/min ONLY — no per-element gathers.
+    `take_along_axis` over the [B, P] grid lowers to a 573k-element XLA
+    gather costing ~9 ms each on this chip (round-4 profile: the three
+    gathers were 27.8 of the scan's 104 ms); instead, the value needed
+    at the latest/earliest flagged position is PACKED with the position
+    ((pos+1)*stride + value) and propagated with the same cummax — the
+    max picks the latest flagged position, the mod recovers its value.
+    Semantics are bit-identical to the sequential recurrence (incl.
+    run-start resets and the strictly-before/after junction indexing),
+    verified lane-for-lane in tests/unit/test_scan_runs.py.
     """
     B, P = solid.shape
     prev_solid = jnp.pad(solid[:, :-1], ((0, 0), (1, 0)))
@@ -77,11 +80,19 @@ def _row_runs(solid, is_junc):
                         constant_values=-1)
     pj = jnp.where(jmax_excl >= rs, jmax_excl, -1)
     # junctions-in-run count up to and including p: inclusive cumsum
-    # minus the cumsum just before the run start.
-    cj = jnp.cumsum(is_junc.astype(I32), axis=1)
-    cj_at_rs = jnp.take_along_axis(cj, rs, axis=1)
-    jn_at_rs = jnp.take_along_axis(is_junc.astype(I32), rs, axis=1)
-    cnt_incl = cj - cj_at_rs + jn_at_rs
+    # minus the cumsum just before the run start. The value pair
+    # (cj, is_junc) AT position rs rides the same propagation as rs
+    # itself: packed = (pos+1)*VS + cj*2 + is_junc at flagged positions
+    # (position 0 always flagged — the plain-rs gather clamps there when
+    # no start precedes p), cummax picks the latest, mod decodes.
+    ji = is_junc.astype(I32)
+    cj = jnp.cumsum(ji, axis=1)
+    VS = jnp.int32(2 * P + 2)   # packed values cj*2+junc < VS
+    fw = jax.lax.cummax(
+        jnp.where(start_m | (pos == 0), (pos + 1) * VS + cj * 2 + ji, 0),
+        axis=1)
+    at_rs = fw % VS
+    cnt_incl = cj - at_rs // 2 + at_rs % 2
 
     # backward: run end = earliest end >= p (0 if none, matching the
     # sequential init); next junction = earliest junction strictly
@@ -97,8 +108,14 @@ def _row_runs(solid, is_junc):
                         constant_values=P)
     nj = jnp.where((~end_m) & (jmin_excl <= emin_excl)
                    & (jmin_excl < BIG), jmin_excl, -1)
-    tot = jnp.where(emin < BIG,
-                    jnp.take_along_axis(cnt_incl, re, axis=1), 0)
+    # run-junction total = cnt_incl at the run END, propagated backward
+    # with the same packing trick ((BIG-pos) makes the EARLIEST end win
+    # the reverse cummax); 0 when no end follows (emin == BIG).
+    VS2 = jnp.int32(P + 1)      # cnt_incl <= P
+    rcummax = lambda a: jnp.flip(
+        jax.lax.cummax(jnp.flip(a, axis=1), axis=1), axis=1)
+    bw = rcummax(jnp.where(end_m, (BIG - pos) * VS2 + cnt_incl, 0))
+    tot = jnp.where(bw > 0, bw % VS2, 0)
     return rs, re, pj, nj, tot, start_m, end_m
 
 

@@ -284,18 +284,29 @@ class GraphBuilder:
 
         total = 0
         R = max(1, cfg.walk_rounds_per_call)
+        # Warmup ramp (round-4 profile): most seeds are short error/FP-
+        # island walks that retire within ~100 steps, while a full call
+        # is R*steps (2048) frontier steps — 95% of the grid's work was
+        # dead lanes. Two short calls first let the 1/4-live compaction
+        # shrink the grid to the genuine long walks before the big
+        # calls run; the (n_rounds, n_steps) jit variants are cached
+        # across _run_walks calls, so this costs 2 extra compiles total.
+        warmup = [(1, min(64, cfg.walk_round_steps)),
+                  (1, cfg.walk_round_steps)]
         while total < cfg.max_contig_len:
+            rr, ss = warmup.pop(0) if warmup else (R,
+                                                   cfg.walk_round_steps)
             if self.mesh is not None:
                 from faucet_tpu.dist.swalk import walk_waves_routed
 
                 fr, bases, rb = walk_waves_routed(
                     self.mesh, self.cascade, self.junctions, fr,
-                    n_rounds=R, n_steps=cfg.walk_round_steps, cfg=cfg)
+                    n_rounds=rr, n_steps=ss, cfg=cfg)
                 self.route_bytes += int(fetch(rb))
             else:
                 fr, bases, _r = waves(self.cascade, self.junctions, fr,
-                                      n_rounds=R,
-                                      n_steps=cfg.walk_round_steps,
+                                      n_rounds=rr,
+                                      n_steps=ss,
                                       cfg=cfg,
                                       walk_fn=codec.walk_round(),
                                       resolve_fn=codec.resolver())
@@ -306,7 +317,7 @@ class GraphBuilder:
             for i in np.nonzero(counts[: len(orig)])[0]:
                 if orig[i] < n:
                     parts[orig[i]].append(segs[i])
-            total += R * cfg.walk_round_steps
+            total += rr * ss
             act = np.asarray(fetch(fr.active))
             live = int(act.sum())
             if live == 0:

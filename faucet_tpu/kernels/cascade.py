@@ -554,7 +554,11 @@ def cascade_insert_fused(a_words: jnp.ndarray, b_words: jnp.ndarray,
         # two-phase group kernel: loads pipelined across the group,
         # store->load stall paid once per group; same-window groups
         # (flagged by the XLA precompute) replay sequentially
-        G = group or 8
+        # G=16 measured fastest on the 573k-key load (round-4 tune4:
+        # 28.1 ms vs 30.1 at G=8, 46.2 at G=32 — wider groups pipeline
+        # more loads per store stall until the bad-group replay rate and
+        # register pressure win)
+        G = group or 16
         assert chunk % G == 0, (chunk, G)
         gb = _group_bad(block_a, block_b, G)
         spec_g = pl.BlockSpec((gb.shape[0],), lambda t, c: (0,),
