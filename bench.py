@@ -96,7 +96,7 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
         return jax.vmap(make_batch)(jax.random.split(key, n_batches))
 
     def step(carry, xs):
-        cascade, node_cascade, junctions, sinks, key = carry
+        cascade, node_cascade, junctions, sinks, jspool, key = carry
         bases, lens = xs
         n_solid = jnp.zeros((), jnp.int32)
         # measured probe-kernel lane count (VERDICT r1 #10: counted, not
@@ -119,9 +119,11 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
             # still probes (the two-pass file mode's phase 2)
             res = SC.scan_batch(cascade, junctions, sinks, bases, lens,
                                 cfg, node_cascade if use_nodes else None,
-                                window_solid=ws)
+                                window_solid=ws, jspool=jspool)
             junctions, sinks, n_solid = res.junctions, res.sinks, \
                 res.n_solid
+            if res.jspool is not None:
+                jspool = res.jspool
             # junction test lanes (+ the window probe when not fused)
             n_probes += B * P * ((2 if ws is not None else 3)
                                  if use_nodes
@@ -136,12 +138,18 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
                 lambda h, l, m: BL.cascade_solid(cascade, h, l, m, cfg),
                 bases, lens, cfg)
             n_solid = u.n_solid
-        return (cascade, node_cascade, junctions, sinks, key), \
+        return (cascade, node_cascade, junctions, sinks, jspool, key), \
             (n_solid, n_probes)
 
     @jax.jit
     def run(state, batches):
         state, (n_solid, n_probes) = jax.lax.scan(step, state, batches)
+        # the junction spool's final flush is PART of the measured work
+        # (deferred, not skipped): drain it before the checksum
+        cascade, node_cascade, junctions, sinks, jspool, key = state
+        if jspool is not None:
+            junctions, jspool = SC.spool_flush(junctions, jspool, cfg)
+        state = (cascade, node_cascade, junctions, sinks, jspool, key)
         # checksum touching every state leaf: fetching it forces the whole
         # chain to execute (block_until_ready is a no-op on the axon
         # tunnel backend; only a host fetch synchronizes)
@@ -158,7 +166,10 @@ def run_stream(cfg, genome_len, n_batches, seed=0):
         junctions = T.make(cfg.junction_cap,
                            (((8,), jnp.int32), ((8,), jnp.uint16)))
         sinks = T.make(cfg.sink_cap, (((), jnp.int32),))
-        return (cascade, node_cascade, junctions, sinks,
+        jspool = (SC.make_jspool(cfg)
+                  if cfg.spool_junctions and mode in ("both", "loadscan",
+                                                      "scan") else None)
+        return (cascade, node_cascade, junctions, sinks, jspool,
                 jax.random.PRNGKey(s))
 
     # materialize the input batches (outside the timed region); summing

@@ -76,6 +76,11 @@ class Config:
     #   the path; the lockstep walk arbitrates locally instead)
     scan_update_cap: int = 1 << 13         # junction/sink update lanes kept
     #   per batch after compaction (sparse in practice; overflow counted)
+    spool_junctions: bool = True           # single-shard narrow-k scans:
+    #   defer junction-table upserts into a cross-batch HBM spool and
+    #   flush (sort + per-key combine + upsert of unique reps) at phase
+    #   ends — same table contents, ~amortized-away per-batch upsert
+    #   cost (core/scan.JSpool; round-4 perf)
     walk_round_steps: int = 256            # frontier steps per walk round
     walk_rounds_per_call: int = 8          # rounds folded into one device
     #   dispatch (lax.while_loop with early exit); bounds per-call strip

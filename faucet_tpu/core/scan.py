@@ -43,6 +43,124 @@ class ScanResult(NamedTuple):
     jm: jnp.ndarray           # [B, P] junction mask (consumed by pairs)
     canon_hi: jnp.ndarray     # [B, P] (consumed by pairs)
     canon_lo: jnp.ndarray
+    jspool: object = None     # JSpool carry when spooling (see below)
+
+
+class JSpool(NamedTuple):
+    """Cross-batch junction-update spool (round-4 perf, VERDICT r3 #2).
+
+    The scan NEVER reads the junction table — it only upserts add/max-
+    commutative records — so table maintenance can be deferred: each
+    batch appends its compacted junction lanes (slim sf/dd packing, as
+    routed by dist/sharded.py) to this HBM buffer, and a FLUSH sorts the
+    spool by key, pre-combines duplicates (the same junction recurs
+    every ~1/coverage batches), and upserts only unique representatives.
+    The per-batch ~9 ms junction-table upsert becomes a ~per-flush cost
+    amortized over dozens of batches. Semantically invisible: flushes
+    happen before anything reads the table (phase end, checkpoint,
+    build), and combining is associative/commutative."""
+    khi: jnp.ndarray   # uint32[S]
+    klo: jnp.ndarray   # uint32[S]
+    sf: jnp.ndarray    # uint32[S] ex_slot | en_slot<<3 | exit_ok<<6 | entry_ok<<7
+    dd: jnp.ndarray    # uint32[S] ex_dist | en_dist<<16
+    cnt: jnp.ndarray   # int32[] valid lanes
+
+
+def make_jspool(cfg) -> JSpool:
+    """Spool sized so one batch always fits after a flush."""
+    need = cfg.batch_reads * cfg.positions_per_read + cfg.scan_update_cap
+    S = 1 << (need - 1).bit_length()
+    u = lambda: jnp.zeros((S,), jnp.uint32)
+    return JSpool(khi=u(), klo=u(), sf=u(), dd=u(),
+                  cnt=jnp.zeros((), I32))
+
+
+def spool_flush(junctions: T.Table, spool: JSpool, cfg
+                ) -> Tuple[T.Table, JSpool]:
+    """Drain the spool into the junction table: one 2-key sort groups
+    duplicate keys, cov/dist one-hots combine per key (segment ops),
+    and only unique representatives go through table upsert rounds."""
+    S = spool.khi.shape[0]
+    valid = jnp.arange(S, dtype=I32) < spool.cnt
+    khi_m = jnp.where(valid, spool.khi, np.uint32(0xFFFFFFFF))
+    klo_m = jnp.where(valid, spool.klo, np.uint32(0xFFFFFFFF))
+    skhi, sklo, ssf, sdd = jax.lax.sort(
+        (khi_m, klo_m, spool.sf, spool.dd), num_keys=2)
+    cov8, dist8 = cov_dist8(
+        (ssf & 7).astype(I32), ((ssf >> 3) & 7).astype(I32),
+        (sdd & 0xFFFF).astype(I32), (sdd >> 16).astype(I32),
+        (ssf >> 6) & 1 > 0, (ssf >> 7) & 1 > 0)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    seg = jnp.cumsum(head.astype(I32)) - 1
+    cov8c = jax.ops.segment_sum(cov8, seg, num_segments=S,
+                                indices_are_sorted=True)[seg]
+    dist8c = jax.ops.segment_max(dist8.astype(I32), seg, num_segments=S,
+                                 indices_are_sorted=True)[seg] \
+        .astype(jnp.uint16)
+    rep = head & (skhi != np.uint32(0xFFFFFFFF))
+    K = min(S, cfg.scan_update_cap)
+
+    def fn(tbl, cm, ps):
+        return T.upsert(tbl, ps[0], ps[1], (ps[2], ps[3]), cm,
+                        modes=("add", "max"), shard_bits=cfg.shard_bits)
+
+    junctions, _ = upsert_rounds(rep, K, (skhi, sklo, cov8c, dist8c),
+                                 fn, junctions)
+    return junctions, spool._replace(cnt=jnp.zeros((), I32))
+
+
+def _spool_append(junctions: T.Table, spool: JSpool, u: "ScanUpdates",
+                  cfg) -> Tuple[T.Table, JSpool]:
+    """Append this batch's junction lanes to the spool, flushing first
+    when they would not fit (spool capacity guarantees one batch always
+    fits after a flush — see make_jspool)."""
+    B, P = u.is_junc.shape
+    flat = lambda a: a.reshape((B * P,))
+    jm = flat(u.is_junc)
+    sf = (flat(u.ex_slot).astype(jnp.uint32)
+          | (flat(u.en_slot).astype(jnp.uint32) << 3)
+          | (flat(u.exit_ok).astype(jnp.uint32) << 6)
+          | (flat(u.entry_ok).astype(jnp.uint32) << 7))
+    dd = (flat(u.ex_dist).astype(jnp.uint32) & 0xFFFF) \
+        | ((flat(u.en_dist).astype(jnp.uint32) & 0xFFFF) << 16)
+    khi, klo = flat(u.key_hi), flat(u.key_lo)
+    n = jm.shape[0]
+    total = jnp.sum(jm, dtype=I32)
+    K = min(n, cfg.scan_update_cap)
+    S = spool.khi.shape[0]
+
+    # flush-first when the batch might not fit: the last append round
+    # writes a full K-lane window (dead tail lanes beyond cnt hold
+    # EMPTY keys and are overwritten by the next append), so reserve K
+    junctions, spool = jax.lax.cond(
+        spool.cnt + total > S - K,
+        lambda js: spool_flush(js[0], js[1], cfg),
+        lambda js: js, (junctions, spool))
+
+    order = jnp.argsort(~jm, stable=True).astype(I32)
+    padn = (-n) % K
+    if padn:
+        order = jnp.concatenate([order, jnp.full((padn,), n, I32)])
+    jm_p = jnp.concatenate([jm, jnp.zeros((1,), bool)])
+    rounds = (total + (K - 1)) // K
+    cnt0 = spool.cnt
+
+    def body(r, sp):
+        take = jax.lax.dynamic_slice(order, (r * K,), (K,))
+        cm = jm_p[jnp.minimum(take, n)]
+        off = cnt0 + r * K
+        wr = lambda dst, src, fill: jax.lax.dynamic_update_slice(
+            dst, jnp.where(cm, src[jnp.minimum(take, n - 1)],
+                           jnp.uint32(fill)), (off,))
+        return sp._replace(
+            khi=wr(sp.khi, khi, 0xFFFFFFFF),
+            klo=wr(sp.klo, klo, 0xFFFFFFFF),
+            sf=wr(sp.sf, sf, 0), dd=wr(sp.dd, dd, 0))
+
+    spool = jax.lax.fori_loop(0, rounds, body, spool)
+    return junctions, spool._replace(cnt=cnt0 + total)
 
 
 def _row_runs(solid, is_junc):
@@ -229,12 +347,19 @@ def upsert_rounds(mask, K: int, payloads, fn, state, sync=None):
 
 def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
                bases, lens, cfg, node_cascade: BL.Cascade = None,
-               window_solid=None) -> ScanResult:
+               window_solid=None, jspool: JSpool = None) -> ScanResult:
     """Single-shard scan: membership and tables are local.
 
     window_solid: optional precomputed [B, P] B-membership of the
     windows (the single-pass streaming path reuses the insert kernel's
-    flags instead of re-probing)."""
+    flags instead of re-probing).
+
+    jspool: optional junction-update spool (narrow keys only). When
+    passed, junction lanes append to the spool instead of upserting
+    per-batch; the caller owns flushing (Pipeline flushes at phase
+    ends; spool_flush). Sinks always upsert directly (random-position
+    anchors have no cross-batch duplication to amortize, and their
+    upsert is ~1 ms/round)."""
     solid_fn = lambda khi, klo, m: BL.cascade_solid(cascade, khi, klo, m,
                                                     cfg)
     node_fn = None
@@ -249,20 +374,25 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
     flat = lambda a: a.reshape((B * P,) + a.shape[2:])
     K = min(B * P, cfg.scan_update_cap)
 
-    def jfn(tbl, cm, ps):
-        jhi, jlo, exs, ens, exd, end_, exo, eno, words = ps
-        cov8, dist8 = cov_dist8(exs, ens, exd, end_, exo, eno)
-        return T.upsert(tbl, jhi, jlo,
-                        (cov8, dist8) + ((words,) if wide else ()), cm,
-                        modes=("add", "max") + (("max",) if wide else ()),
-                        shard_bits=cfg.shard_bits)
+    if jspool is not None and not wide:
+        junctions, jspool = _spool_append(junctions, jspool, u, cfg)
+    else:
+        def jfn(tbl, cm, ps):
+            jhi, jlo, exs, ens, exd, end_, exo, eno, words = ps
+            cov8, dist8 = cov_dist8(exs, ens, exd, end_, exo, eno)
+            return T.upsert(tbl, jhi, jlo,
+                            (cov8, dist8) + ((words,) if wide else ()),
+                            cm,
+                            modes=("add", "max")
+                            + (("max",) if wide else ()),
+                            shard_bits=cfg.shard_bits)
 
-    junctions, _ = upsert_rounds(
-        flat(u.is_junc), K,
-        (flat(u.key_hi), flat(u.key_lo), flat(u.ex_slot),
-         flat(u.en_slot), flat(u.ex_dist), flat(u.en_dist),
-         flat(u.exit_ok), flat(u.entry_ok), flat(u.words)),
-        jfn, junctions)
+        junctions, _ = upsert_rounds(
+            flat(u.is_junc), K,
+            (flat(u.key_hi), flat(u.key_lo), flat(u.ex_slot),
+             flat(u.en_slot), flat(u.ex_dist), flat(u.en_dist),
+             flat(u.exit_ok), flat(u.entry_ok), flat(u.words)),
+            jfn, junctions)
 
     def sfn(tbl, cm, ps):
         shi, slo, scov, words = ps
@@ -278,7 +408,7 @@ def scan_batch(cascade: BL.Cascade, junctions: T.Table, sinks: T.Table,
     return ScanResult(
         junctions=junctions, sinks=sinks, n_solid=u.n_solid,
         n_junc_pos=u.n_junc_pos, jm=u.jm, canon_hi=u.canon_hi,
-        canon_lo=u.canon_lo)
+        canon_lo=u.canon_lo, jspool=jspool)
 
 
 def scan_core(solid_fn, bases, lens, cfg, node_solid_fn=None,

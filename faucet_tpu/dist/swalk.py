@@ -108,6 +108,11 @@ def walk_waves_routed(mesh, cascade, junctions, fr, n_rounds: int,
         cap = lambda m: _cap_for(m, n)
         step_b = n * (cap(4 * Wl) + cap(Wl)) * 9
         L = int(cfg.fp_lookahead)
+        if not cfg.break_on_deep_tie:
+            # resolve_ambiguous deepens the lookahead to k+4 so tie
+            # arbitration can observe bubble-arm rejoining — mirror it
+            # in the byte accounting
+            L = max(L, cfg.size_kmer + 4)
         res_b = n * (cap(4 * Wl)
                      + L * (cap(16 * Wl) + cap(64 * Wl))) * 9
         # per-round byte constant is a Python int (can exceed 2^31 at

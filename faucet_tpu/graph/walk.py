@@ -181,7 +181,23 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
     # ~1%/step and falsely kills the REAL candidate; requiring a
     # grandchild makes a veer need two stacked fps (~fp^2), while the
     # real child is always strong away from genuine path ends.
-    for _ in range(int(cfg.fp_lookahead)):
+    # Tie arbitration needs to see REJOINING (ADVICE r3): a shadowed
+    # error bubble's two arms reconverge within ~k steps (substitution
+    # arms are equal length), while a shadow-missed TRUE fork's arms
+    # never do — so when ties may force-continue, look far enough to
+    # observe the rejoin and gate the continue on it (below). Killing
+    # power only grows with depth ((4*fp)^d); near-genuine-path-end
+    # retires widen by the same margin and fall under the existing
+    # dist/cap trim rule.
+    look = int(cfg.fp_lookahead)
+    if not cfg.break_on_deep_tie:
+        look = max(look, k + 4)
+
+    # one lookahead step as a fori_loop body (shape-invariant carry):
+    # Python-unrolling `look` steps tripled trace size once the depth
+    # grew to k+4 and made the routed-walk jit compile minutes-slow
+    def la_step(_, carry):
+        cur, alive = carry
         ch = [KM.right_ext(*cur, np.uint32(b2), k) for b2 in range(4)]
         chi = jnp.stack([KM.canon_of(*e)[0] for e in ch])   # [4, 4, W]
         clo = jnp.stack([KM.canon_of(*e)[1] for e in ch])
@@ -197,20 +213,32 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
         score = strong.astype(I32) * 2 + s_child.astype(I32)
         bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)  # [4, W]
         alive = alive & jnp.any(s_child, axis=0)
-        cur = KM.right_ext(*cur, bsel, k)
+        return KM.right_ext(*cur, bsel, k), alive
+
+    cur, alive = jax.lax.fori_loop(0, look, la_step, (cur, alive))
     strong4 = (first & alive).T                    # [W, 4]
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
         # >=2 candidates surviving a DEEP lookahead means both paths are
-        # real — almost always the two arms of an error bubble whose
-        # junction a B-fp shadowed out of the node cascade (they rejoin,
-        # so either choice reaches the same next junction; the unwalked
-        # arm shows up as an equal-length parallel contig that
-        # pop_bubbles removes). Breaking here fragments the assembly at
-        # every shadowed bubble; continuing risks a chimeric join only
-        # at a shadow-missed TRUE fork (~fp_b of true junctions).
-        resolved = resolved | (amb & (scnt >= 2))
+        # real. Two causes, distinguished by CONVERGENCE (ADVICE r3):
+        # the arms of an error bubble whose junction a fp shadowed out
+        # of the node cascade rejoin within ~k steps — after the rejoin
+        # the greedy advance is shared, so at the final step the
+        # surviving candidates hold the SAME k-mer; a shadow-missed
+        # TRUE fork's arms (e.g. a repeat exit) never reconverge.
+        # Force-continue only on the bubble signature; retire true
+        # forks so the dist bound / endpoint match resolves them (the
+        # reference rule) instead of a chimeric argmax join — this was
+        # the round-4 2 Mbp break class (bench/r4_diag2.log).
+        shi, slo, _ = KM.canon_of(*cur)            # [4, W]
+        st = first & alive                         # [4, W]
+        ref = jnp.argmax(st, axis=0)               # [W]
+        rhi = jnp.take_along_axis(shi, ref[None], axis=0)[0]
+        rlo = jnp.take_along_axis(slo, ref[None], axis=0)[0]
+        conv = jnp.all(~st | ((shi == rhi[None]) & (slo == rlo[None])),
+                       axis=0)
+        resolved = resolved | (amb & (scnt >= 2) & conv)
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),
@@ -385,7 +413,12 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
             los.append(l)
         return jnp.stack(his), jnp.stack(los)
 
-    for _ in range(int(cfg.fp_lookahead)):
+    look = int(cfg.fp_lookahead)
+    if not cfg.break_on_deep_tie:
+        look = max(look, k + 4)   # see narrow twin: rejoin visibility
+
+    def la_step(_, carry):
+        fwd, rc, alive = carry
         ch = [WD.right_ext_wide(fwd, rc, np.uint32(b2), k)
               for b2 in range(4)]
         chi, clo = keys_of(ch)                     # [4, 4, W]
@@ -403,11 +436,24 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
         bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)
         alive = alive & jnp.any(s_child, axis=0)
         fwd, rc = WD.right_ext_wide(fwd, rc, bsel, k)
+        return fwd, rc, alive
+
+    fwd, rc, alive = jax.lax.fori_loop(0, look, la_step,
+                                       (fwd, rc, alive))
     strong4 = (first & alive).T
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
-        resolved = resolved | (amb & (scnt >= 2))  # see narrow twin
+        # convergence-gated tie continue — see the narrow twin
+        cn, _ = WD.canon_of_wide(fwd, rc)
+        shi, slo = WD.fingerprint(cn)              # [4, W]
+        st = first & alive
+        ref = jnp.argmax(st, axis=0)
+        rhi = jnp.take_along_axis(shi, ref[None], axis=0)[0]
+        rlo = jnp.take_along_axis(slo, ref[None], axis=0)[0]
+        conv = jnp.all(~st | ((shi == rhi[None]) & (slo == rlo[None])),
+                       axis=0)
+        resolved = resolved | (amb & (scnt >= 2) & conv)
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),

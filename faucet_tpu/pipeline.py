@@ -99,6 +99,19 @@ class Pipeline:
         self._pairs = jax.jit(SC.capture_pairs,
                       static_argnames=("cfg",),
                       donate_argnums=(0,))
+        # cross-batch junction-update spool (single-shard, narrow keys):
+        # scan batches append; phase ends flush (core/scan.JSpool)
+        self.jspool = (SC.make_jspool(cfg)
+                       if cfg.spool_junctions and not cfg.wide else None)
+        self._flush = jax.jit(SC.spool_flush, static_argnames=("cfg",))
+
+    def flush_junctions(self):
+        """Drain the junction spool into the table (idempotent; called
+        at scan/stream phase ends, so checkpoint save and graph build
+        always see the complete table)."""
+        if self.jspool is not None and int(self.jspool.cnt) > 0:
+            self.junctions, self.jspool = self._flush(
+                self.junctions, self.jspool, cfg=self.cfg)
 
     # ---- phase 1 ---------------------------------------------------------
     def load_reads(self, reads: Iterable[str]):
@@ -140,6 +153,7 @@ class Pipeline:
         m.start("scan")
         for bases, lens in prefetch_batches(batches):
             self.scan_batch(bases, lens)
+        self.flush_junctions()
         jax.block_until_ready(self.junctions)
         m.stop("scan")
 
@@ -147,9 +161,11 @@ class Pipeline:
         res = self._scan(self.cascade, self.junctions, self.sinks,
                          jnp.asarray(bases), jnp.asarray(lens),
                          cfg=self.cfg, node_cascade=self.node_cascade,
-                         window_solid=window_solid)
+                         window_solid=window_solid, jspool=self.jspool)
         self.junctions = res.junctions
         self.sinks = res.sinks
+        if res.jspool is not None:
+            self.jspool = res.jspool
         self.metrics.add("reads_scanned", int((np.asarray(lens) > 0).sum()))
         self.metrics.add("solid_windows", int(res.n_solid))
         self.metrics.add("junction_hits", int(res.n_junc_pos))
@@ -188,6 +204,7 @@ class Pipeline:
                 m1, m2 = [], []
         if m1:
             self._scan_pair_batch(m1, m2)
+        self.flush_junctions()
         jax.block_until_ready(self.junctions)
         m.stop("scan")
 
@@ -215,6 +232,7 @@ class Pipeline:
         for bases, lens in prefetch_batches(batches):
             self._scan_pair_packed(bases[0::2], lens[0::2],
                                    bases[1::2], lens[1::2])
+        self.flush_junctions()
         jax.block_until_ready(self.junctions)
         m.stop("scan")
 
@@ -229,6 +247,9 @@ class Pipeline:
     # ---- phases 3-5 ------------------------------------------------------
     def build(self) -> ContigGraph:
         m = self.metrics
+        # defensive: callers driving scan_batch directly (tests, custom
+        # flows) may not have hit a phase-end flush
+        self.flush_junctions()
         if self.cfg.prune_slot_cov > 0:
             from faucet_tpu.dist.sharded import prune_slots
 
@@ -316,6 +337,7 @@ class Pipeline:
         else:
             for bases, lens in batch_iter(reads, self.cfg):
                 self.stream_step(bases, lens)
+        self.flush_junctions()
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()
@@ -350,6 +372,7 @@ class Pipeline:
                 self._scan_pair_packed(b1, l1, b2, l2)
             else:
                 self.stream_step(bases, lens)
+        self.flush_junctions()
         jax.block_until_ready(self.junctions)
         m.stop("stream")
         g = self.build()
