@@ -181,17 +181,7 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
     # ~1%/step and falsely kills the REAL candidate; requiring a
     # grandchild makes a veer need two stacked fps (~fp^2), while the
     # real child is always strong away from genuine path ends.
-    # Tie arbitration needs to see REJOINING (ADVICE r3): a shadowed
-    # error bubble's two arms reconverge within ~k steps (substitution
-    # arms are equal length), while a shadow-missed TRUE fork's arms
-    # never do — so when ties may force-continue, look far enough to
-    # observe the rejoin and gate the continue on it (below). Killing
-    # power only grows with depth ((4*fp)^d); near-genuine-path-end
-    # retires widen by the same margin and fall under the existing
-    # dist/cap trim rule.
     look = int(cfg.fp_lookahead)
-    if not cfg.break_on_deep_tie:
-        look = max(look, k + 4)
 
     # one lookahead step as a fori_loop body (shape-invariant carry):
     # Python-unrolling `look` steps tripled trace size once the depth
@@ -221,24 +211,21 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
         # >=2 candidates surviving a DEEP lookahead means both paths are
-        # real. Two causes, distinguished by CONVERGENCE (ADVICE r3):
-        # the arms of an error bubble whose junction a fp shadowed out
-        # of the node cascade rejoin within ~k steps — after the rejoin
-        # the greedy advance is shared, so at the final step the
-        # surviving candidates hold the SAME k-mer; a shadow-missed
-        # TRUE fork's arms (e.g. a repeat exit) never reconverge.
-        # Force-continue only on the bubble signature; retire true
-        # forks so the dist bound / endpoint match resolves them (the
-        # reference rule) instead of a chimeric argmax join — this was
-        # the round-4 2 Mbp break class (bench/r4_diag2.log).
-        shi, slo, _ = KM.canon_of(*cur)            # [4, W]
-        st = first & alive                         # [4, W]
-        ref = jnp.argmax(st, axis=0)               # [W]
-        rhi = jnp.take_along_axis(shi, ref[None], axis=0)[0]
-        rlo = jnp.take_along_axis(slo, ref[None], axis=0)[0]
-        conv = jnp.all(~st | ((shi == rhi[None]) & (slo == rlo[None])),
-                       axis=0)
-        resolved = resolved | (amb & (scnt >= 2) & conv)
+        # real — almost always the two arms of an error bubble whose
+        # junction a B-fp shadowed out of the node cascade (they rejoin,
+        # so either choice reaches the same next junction; the unwalked
+        # arm shows up as an equal-length parallel contig that
+        # pop_bubbles removes). Breaking here fragments the assembly at
+        # every shadowed bubble; continuing risks an over-merged walk
+        # only at a shadow-missed TRUE fork (~fp_b of true junctions) —
+        # those merged walks are repaired post-hoc by
+        # clean.resolve_port_clashes, which was designed for exactly
+        # this continue semantics. Round 4's convergence-gated retire
+        # here regressed 2 Mbp truth_recovered 0.945 -> 0.801 (judge
+        # bisect, VERDICT r4) because a retired walk is a dangling
+        # break, not a node boundary; see tests/golden/
+        # test_repeat_regression.py for the planted-repeat net.
+        resolved = resolved | (amb & (scnt >= 2))
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),
@@ -414,8 +401,6 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
         return jnp.stack(his), jnp.stack(los)
 
     look = int(cfg.fp_lookahead)
-    if not cfg.break_on_deep_tie:
-        look = max(look, k + 4)   # see narrow twin: rejoin visibility
 
     def la_step(_, carry):
         fwd, rc, alive = carry
@@ -444,16 +429,7 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
-        # convergence-gated tie continue — see the narrow twin
-        cn, _ = WD.canon_of_wide(fwd, rc)
-        shi, slo = WD.fingerprint(cn)              # [4, W]
-        st = first & alive
-        ref = jnp.argmax(st, axis=0)
-        rhi = jnp.take_along_axis(shi, ref[None], axis=0)[0]
-        rlo = jnp.take_along_axis(slo, ref[None], axis=0)[0]
-        conv = jnp.all(~st | ((shi == rhi[None]) & (slo == rlo[None])),
-                       axis=0)
-        resolved = resolved | (amb & (scnt >= 2) & conv)
+        resolved = resolved | (amb & (scnt >= 2))  # see narrow twin
     return fr._replace(
         forced=jnp.where(resolved,
                          jnp.argmax(strong4, axis=-1).astype(I32),
