@@ -49,15 +49,19 @@ def decode_seq(codes) -> str:
     return _CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
 
 
-_RC_TABLE = str.maketrans("ACGTacgt", "TGCAtgca")
+# Full 256-entry complement table: ACGT/acgt -> uppercase complement,
+# every other byte -> 'N' (ADVICE r4: preserves the old encode/decode
+# path's normalization — uppercasing and non-ACGT -> N — which the
+# narrow 8-char maketrans silently dropped).
+_RC_TABLE = {i: "N" for i in range(256)}
+_RC_TABLE.update({ord(a): b for a, b in
+                  zip("ACGTacgt", "TGCATGCA")})
 
 
 def revcomp_seq(seq: str) -> str:
     # str.translate is ~10x faster than the numpy encode/decode round
     # trip for k-mer-sized strings (round-4 profile: 43M calls = 390 s
-    # of a 2 Mbp quality run); non-ACGT characters pass through
-    # unchanged, matching the previous where(c < 4) behavior for N=4
-    # codes' decode ("N").
+    # of a 2 Mbp quality run)
     return seq.translate(_RC_TABLE)[::-1]
 
 
@@ -147,8 +151,12 @@ def encode_windows_np(seq: str, k: int) -> np.ndarray:
         # over ~60 bp junk contigs)
         from numpy.lib.stride_tricks import sliding_window_view
 
+        # OR-accumulate (not multiply-add): bit-identical to the long
+        # path's shift-OR even for out-of-contract code-4 (N) bytes
+        # (ADVICE r4: (v<<2)|4 != v*4+4 when bit 0 of v is set)
         win = sliding_window_view(t, k).astype(np.uint64)
-        v = (win * _POW4(k)[None, :]).sum(axis=1, dtype=np.uint64)
+        sh = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+        v = np.bitwise_or.reduce(win << sh[None, :], axis=1)
     else:
         v = np.zeros((n,), np.uint64)
         for j in range(k):

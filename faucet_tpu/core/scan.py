@@ -182,6 +182,12 @@ def _row_runs(solid, is_junc):
     verified lane-for-lane in tests/unit/test_scan_runs.py.
     """
     B, P = solid.shape
+    # ADVICE r4: the pack-and-propagate trick below computes
+    # (pos+1)*(2P+2)+cj*2+ji in int32, which silently overflows once
+    # P exceeds ~2^15 (a long-read config with max_read_length ~32.8k+k)
+    assert P < (1 << 15), (
+        f"_row_runs packed-propagation overflows int32 at P={P} "
+        f"(max_read_length - k + 1 must stay < 32768)")
     prev_solid = jnp.pad(solid[:, :-1], ((0, 0), (1, 0)))
     next_solid = jnp.pad(solid[:, 1:], ((0, 0), (0, 1)))
     start_m = solid & ~prev_solid

@@ -27,9 +27,6 @@ def _table_map(tbl):
     occ = hi != np.uint32(0xFFFFFFFF)
     lo = np.asarray(tbl.keys_lo)[occ]
     keys = (hi[occ].astype(np.uint64) << np.uint64(32)) | lo
-    out = {}
-    for i, k in enumerate(np.argsort(keys)):
-        pass
     vals = [np.asarray(v)[occ] for v in tbl.vals]
     return {int(k): tuple(v[j].tolist() for v in vals)
             for j, k in enumerate(keys)}
@@ -109,5 +106,12 @@ def test_pipeline_flush_at_phase_end():
     p = Pipeline(cfg)
     p.load_reads(iter(reads))
     p.scan_reads(iter(reads))
-    assert p.jspool is None or int(p.jspool.cnt) == 0
-    assert int(p.junctions.count) >= 0  # table is current post-flush
+    assert p.jspool is not None and int(p.jspool.cnt) == 0
+    # table contents must match a spool-disabled (direct-upsert) run
+    # (ADVICE r4: the old `count >= 0` assert was vacuous)
+    q = Pipeline(_cfg(spool_junctions=False))
+    q.load_reads(iter(reads))
+    q.scan_reads(iter(reads))
+    assert q.jspool is None
+    assert _table_map(p.junctions) == _table_map(q.junctions)
+    assert int(p.junctions.count) == int(q.junctions.count) > 0
