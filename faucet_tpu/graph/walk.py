@@ -169,44 +169,55 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
     # candidate frame [4, W]: all 4 right extensions advanced in lockstep
     exts = [KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
             for b in range(4)]
-    cur = tuple(jnp.stack([e[j] for e in exts]) for j in range(4))
-    chi, clo, _ = KM.canon_of(*cur)
-    alive = solid_fn(chi, clo, jnp.broadcast_to(amb, chi.shape))
-    first = alive
+    cand = tuple(jnp.stack([e[j] for e in exts]) for j in range(4))
+    chi, clo, _ = KM.canon_of(*cand)
+    first = solid_fn(chi, clo, jnp.broadcast_to(amb, chi.shape))
 
-    # Each lookahead step advances every candidate one base, choosing
-    # among its 4 children with a 2-level rule: prefer a child that has
-    # a solid grandchild ("strong"), else any solid child. A plain
-    # greedy argmax over child solidity veers onto dead-end fp children
-    # ~1%/step and falsely kills the REAL candidate; requiring a
-    # grandchild makes a veer need two stacked fps (~fp^2), while the
-    # real child is always strong away from genuine path ends.
+    # Each lookahead step advances every candidate's BEAM of up to
+    # BEAM solid paths by one base. Survival = "some solid path of
+    # depth `look` exists from this candidate", so a path that veers
+    # onto a dead-end error/fp spur dies in its beam slot WITHOUT
+    # killing the candidate. (Round 4's single greedy path per
+    # candidate — even with 2-level grandchild scoring — veer-killed
+    # the REAL candidate whenever a nested error branch inside the
+    # lookahead window tied on score and dead-ended: 2 Mbp walks
+    # retired mid-unitig at step ~450 of a 29.7 kb path, the
+    # 'no-node-gap' / stub break classes of bench/diagnose_breaks.)
+    # Error chains are solid for up to k steps, so no finite scoring
+    # depth fixes the greedy version; existence-over-a-beam does.
     look = int(cfg.fp_lookahead)
+    BEAM = 4
+
+    # beam state: code tuples [4, BEAM, W]; slot 0 = the candidate,
+    # other slots start dead
+    cur = tuple(jnp.repeat(c[:, None], BEAM, axis=1) for c in cand)
+    alive = jnp.concatenate(
+        [first[:, None],
+         jnp.zeros((4, BEAM - 1) + first.shape[1:], bool)], axis=1)
 
     # one lookahead step as a fori_loop body (shape-invariant carry):
-    # Python-unrolling `look` steps tripled trace size once the depth
-    # grew to k+4 and made the routed-walk jit compile minutes-slow
+    # Python-unrolling `look` steps tripled trace size once depth grew
+    # and made the routed-walk jit compile minutes-slow (round 4)
     def la_step(_, carry):
         cur, alive = carry
+        # children of every beam slot: [4cand, 4child*BEAM, W]
         ch = [KM.right_ext(*cur, np.uint32(b2), k) for b2 in range(4)]
-        chi = jnp.stack([KM.canon_of(*e)[0] for e in ch])   # [4, 4, W]
-        clo = jnp.stack([KM.canon_of(*e)[1] for e in ch])
-        s_child = solid_fn(chi, clo,
-                           jnp.broadcast_to(alive, chi.shape))
-        cur4 = tuple(jnp.stack([e[j] for e in ch]) for j in range(4))
-        gr = [KM.right_ext(*cur4, np.uint32(b3), k) for b3 in range(4)]
-        ghi = jnp.stack([KM.canon_of(*e)[0] for e in gr])   # [4, 4, 4, W]
-        glo = jnp.stack([KM.canon_of(*e)[1] for e in gr])
-        s_grand = solid_fn(ghi, glo,
-                           jnp.broadcast_to(s_child, ghi.shape))
-        strong = s_child & jnp.any(s_grand, axis=0)
-        score = strong.astype(I32) * 2 + s_child.astype(I32)
-        bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)  # [4, W]
-        alive = alive & jnp.any(s_child, axis=0)
-        return KM.right_ext(*cur, bsel, k), alive
+        opt = tuple(jnp.concatenate([e[j] for e in ch], axis=1)
+                    for j in range(4))
+        chi, clo, _ = KM.canon_of(*opt)
+        m = jnp.concatenate([alive] * 4, axis=1)
+        s_opt = solid_fn(chi, clo, m)              # [4, 4*BEAM, W]
+        # keep the BEAM best options per candidate (solid first; stable
+        # order breaks ties by option index). top_k over the option
+        # axis; gather the codes of the winners.
+        score = s_opt.astype(I32)
+        _, top = jax.lax.top_k(jnp.moveaxis(score, 1, -1), BEAM)
+        top = jnp.moveaxis(top, -1, 1)             # [4, BEAM, W]
+        sel = lambda a: jnp.take_along_axis(a, top, axis=1)
+        return tuple(sel(o) for o in opt), sel(s_opt)
 
     cur, alive = jax.lax.fori_loop(0, look, la_step, (cur, alive))
-    strong4 = (first & alive).T                    # [W, 4]
+    strong4 = (first & jnp.any(alive, axis=1)).T   # [W, 4]
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
@@ -384,48 +395,43 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
     rc = tuple(jnp.stack([e[1][j] for e in exts]) for j in range(4))
     c, _ = WD.canon_of_wide(fwd, rc)
     khi, klo = WD.fingerprint(c)
-    alive = BL.cascade_solid(cascade, khi, klo,
+    first = BL.cascade_solid(cascade, khi, klo,
                              jnp.broadcast_to(amb, khi.shape), cfg)
-    first = alive
 
-    # 2-level rule, same as the narrow resolver: prefer children with a
-    # solid grandchild so a dead-end fp child cannot veer-kill the real
-    # candidate (see resolve_ambiguous).
-    def keys_of(frames):
-        his, los = [], []
-        for nf, nr in frames:
-            cn, _ = WD.canon_of_wide(nf, nr)
-            h, l = WD.fingerprint(cn)
-            his.append(h)
-            los.append(l)
-        return jnp.stack(his), jnp.stack(los)
-
+    # beam-of-4 survival lookahead, same rationale as the narrow
+    # resolver: a dead-end spur dies in its beam slot without killing
+    # the candidate (see resolve_ambiguous).
     look = int(cfg.fp_lookahead)
+    BEAM = 4
+
+    fwd = tuple(jnp.repeat(w[:, None], BEAM, axis=1) for w in fwd)
+    rc = tuple(jnp.repeat(w[:, None], BEAM, axis=1) for w in rc)
+    alive = jnp.concatenate(
+        [first[:, None],
+         jnp.zeros((4, BEAM - 1) + first.shape[1:], bool)], axis=1)
 
     def la_step(_, carry):
         fwd, rc, alive = carry
         ch = [WD.right_ext_wide(fwd, rc, np.uint32(b2), k)
               for b2 in range(4)]
-        chi, clo = keys_of(ch)                     # [4, 4, W]
-        s_child = BL.cascade_solid(
-            cascade, chi, clo, jnp.broadcast_to(alive, chi.shape), cfg)
-        cfwd = tuple(jnp.stack([e[0][j] for e in ch]) for j in range(4))
-        crc = tuple(jnp.stack([e[1][j] for e in ch]) for j in range(4))
-        gr = [WD.right_ext_wide(cfwd, crc, np.uint32(b3), k)
-              for b3 in range(4)]
-        ghi, glo = keys_of(gr)                     # [4, 4, 4, W]
-        s_grand = BL.cascade_solid(
-            cascade, ghi, glo, jnp.broadcast_to(s_child, ghi.shape), cfg)
-        strong = s_child & jnp.any(s_grand, axis=0)
-        score = strong.astype(I32) * 2 + s_child.astype(I32)
-        bsel = jnp.argmax(score, axis=0).astype(jnp.uint32)
-        alive = alive & jnp.any(s_child, axis=0)
-        fwd, rc = WD.right_ext_wide(fwd, rc, bsel, k)
-        return fwd, rc, alive
+        ofwd = tuple(jnp.concatenate([e[0][j] for e in ch], axis=1)
+                     for j in range(4))
+        orc = tuple(jnp.concatenate([e[1][j] for e in ch], axis=1)
+                    for j in range(4))
+        cn, _ = WD.canon_of_wide(ofwd, orc)
+        chi, clo = WD.fingerprint(cn)              # [4, 4*BEAM, W]
+        m = jnp.concatenate([alive] * 4, axis=1)
+        s_opt = BL.cascade_solid(cascade, chi, clo, m, cfg)
+        score = s_opt.astype(I32)
+        _, top = jax.lax.top_k(jnp.moveaxis(score, 1, -1), BEAM)
+        top = jnp.moveaxis(top, -1, 1)             # [4, BEAM, W]
+        sel = lambda a: jnp.take_along_axis(a, top, axis=1)
+        return (tuple(sel(w) for w in ofwd),
+                tuple(sel(w) for w in orc), sel(s_opt))
 
     fwd, rc, alive = jax.lax.fori_loop(0, look, la_step,
                                        (fwd, rc, alive))
-    strong4 = (first & alive).T
+    strong4 = (first & jnp.any(alive, axis=1)).T
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
