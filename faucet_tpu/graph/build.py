@@ -36,17 +36,69 @@ def _to_int(hi, lo):
         lo, np.uint64)
 
 
+_SENT = np.uint32(0xFFFFFFFF)
+
+
 def extract_table(tbl: T.Table):
-    """Occupied rows of a device table -> host numpy dict (multi-host:
-    collective fetch of the global arrays)."""
+    """Occupied rows of a device table -> host numpy dict.
+
+    Multi-host: each process filters only its ADDRESSABLE shard rows
+    and the processes all-gather the occupied ROWS (the walk seeds) —
+    the capacity-sized global arrays are never materialized on any
+    host (VERDICT r4 #8: the per-host global fetch was config-4/5's
+    first memory wall; PARITY.md §config5). Gathered row order is
+    process-major, but build() sorts every extract by key immediately,
+    so contigs are order-independent. Sets extract_table.last_bytes to
+    the bytes this host materialized (asserted by the multihost test).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def local(a):
+            # one copy per distinct row range (a replicated leaf shows
+            # every device the same range; keep it once)
+            seen = {}
+            for s in a.addressable_shards:
+                seen.setdefault(s.index[0].start or 0, s.data)
+            return np.concatenate(
+                [np.asarray(d) for _, d in sorted(seen.items())])
+
+        keys_hi = local(tbl.keys_hi)
+        occ = keys_hi != _SENT
+        cols = {"hi": keys_hi[occ], "lo": local(tbl.keys_lo)[occ]}
+        for i, v in enumerate(tbl.vals):
+            cols[f"v{i}"] = local(v)[occ]
+        n = cols["hi"].shape[0]
+        counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([np.int64(n)])))
+        maxn = int(counts.max())
+
+        def gather(a, fill):
+            pad = np.full((maxn,) + a.shape[1:], fill, a.dtype)
+            pad[:n] = a
+            g = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(pad)))  # [nproc, maxn, ...]
+            return g.reshape((-1,) + a.shape[1:])
+
+        hi_all = gather(cols["hi"], _SENT)
+        keep = hi_all != _SENT
+        out = {"hi": hi_all[keep], "lo": gather(cols["lo"], 0)[keep]}
+        for i in range(len(tbl.vals)):
+            out[f"v{i}"] = gather(cols[f"v{i}"], 0)[keep]
+        extract_table.last_bytes = sum(
+            a.nbytes for a in cols.values()) + sum(
+            a.nbytes for a in out.values()) * jax.process_count()
+        return out
     keys_hi = fetch(tbl.keys_hi)
-    occ = keys_hi != np.uint32(0xFFFFFFFF)
+    occ = keys_hi != _SENT
     out = {
         "hi": keys_hi[occ],
         "lo": fetch(tbl.keys_lo)[occ],
     }
     for i, v in enumerate(tbl.vals):
         out[f"v{i}"] = fetch(v)[occ]
+    extract_table.last_bytes = keys_hi.nbytes * (
+        2 + sum(int(np.prod(v.shape[1:])) for v in tbl.vals))
     return out
 
 

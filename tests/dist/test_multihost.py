@@ -42,6 +42,17 @@ sp.scan_reads(half)
 assert sp.metrics.counters.get("route_dropped", 0) == 0
 g = sp.build()
 g = sp.clean_graph(g)
+# partitioned seed extraction (VERDICT r4 #8): the per-host bytes of an
+# extract must track OCCUPIED rows, not table capacity — the old global
+# fetch materialized capacity-sized arrays (>= 458 kB for this junction
+# table) on every host
+from faucet_tpu.graph.build import extract_table
+jt = extract_table(sp.junctions)
+row_bytes = 4 + 4 + 8 * 4 + 8 * 2
+assert extract_table.last_bytes < 8 * len(jt["hi"]) * row_bytes + 4096, (
+    f"extract materialized {extract_table.last_bytes} bytes for "
+    f"{len(jt['hi'])} occupied rows")
+assert extract_table.last_bytes < (1 << 13) * row_bytes // 2
 keys = sorted(g.contigs[i].canonical_seq() for i in g.live())
 digest = hashlib.sha256("#".join(keys).encode()).hexdigest()
 print(f"RESULT {len(keys)} {digest}", flush=True)
