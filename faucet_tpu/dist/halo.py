@@ -49,6 +49,9 @@ Message tags (all rows are uint32[W=12], zero-padded):
  10  SURVIVOR   -> contig owner (popped-group survivor notice)
  11  PORT_SET   -> node owner   (setdefault re-registration)
  12  REPAIR     -> node owner   (strongest-claimant fill of empty slots)
+ 13  FAR_INFO   -> node owner   (far-end node code behind each port)
+ 14  DMERGE     -> contig owner (disentangle transaction votes)
+ 15  CHAIN_HALF -> R owner      (3-port node's flank ports + far codes)
 """
 from __future__ import annotations
 
@@ -704,7 +707,13 @@ class PartitionedCleaner:
         cov = (c1.cov * n1 + c2.cov * n2) / max(n1 + n2, 1)
         merged = Contig(seq=left_seq + right_seq[k:], cov=cov,
                         left=left_far, right=right_far)
-        del self.shards[node_owner].ports[code]
+        # slot-precise deletion: collapse consumes the whole 2-port
+        # node, but a disentangle merge (merge_through analogue) leaves
+        # the node's OTHER pair in place for the second merge
+        del dslot[rslot]
+        del dslot[lslot]
+        if not dslot:
+            del self.shards[node_owner].ports[code]
         gid = self._new_gid(node_owner)
         self.shards[node_owner].contigs[gid] = merged
         # far-end ports move from the absorbed contigs to the merged one
@@ -728,22 +737,336 @@ class PartitionedCleaner:
                         _u64((g1, g2)), "L" if is_l else "R")
         return True
 
+    # ---- paired-end disentangle (VERDICT r4 #7) --------------------------
+    def _far_info(self) -> List[Dict[int, Dict[int, int]]]:
+        """FAR_INFO pass (tag 13): node owners learn the far-end node
+        CODE behind every registered port. Contig owners send, per
+        attached end, (node, slot, gid, far_code|none); the node owner
+        keeps rows matching its registry entry (the sequential far()
+        also reads through the registry, clean.disentangle). Returns
+        per shard: {node_code: {slot: far_code or -1}}."""
+        n, k = self.n, self.k
+        out = self._empty_out()
+        for s in range(n):
+            for gid, c in self.shards[s].contigs.items():
+                if c.circular:
+                    continue
+                for e, other in ((c.left, c.right), (c.right, c.left)):
+                    if e is None:
+                        continue
+                    code = _node_code(e.node, k)
+                    own = _owner_of_code(code, n)
+                    hi, lo = _split64(code)
+                    if other is not None:
+                        fhi, flo = _split64(_node_code(other.node, k))
+                        hf = 1
+                    else:
+                        fhi = flo = 0
+                        hf = 0
+                    out[s][own].append((13, hi, lo, e.slot, gid >> 32,
+                                        gid & 0xFFFFFFFF, fhi, flo, hf))
+        inbox = self.ex.exchange(out)
+        far: List[Dict[int, Dict[int, int]]] = [{} for _ in range(n)]
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2, fhi, flo, hf = m[:9]
+                    code = _u64((hi, lo))
+                    reg = self.shards[d].ports.get(code, {}).get(slot)
+                    if reg is None or reg[0] != _u64((g1, g2)):
+                        continue
+                    far[d].setdefault(code, {})[slot] = (
+                        _u64((fhi, flo)) if hf else -1)
+        return far
+
+    def _pc_codes(self, pair_count):
+        """Adapt the sequential string pair_count to node codes."""
+        from faucet_tpu.core.kmer import decode_kmer
+
+        k = self.k
+
+        def pc(a: int, b: int, *exclude: int) -> int:
+            if a < 0 or b < 0 or a in exclude or b in exclude:
+                return 0
+            return pair_count(
+                decode_kmer(a >> 32, a & 0xFFFFFFFF, k),
+                decode_kmer(b >> 32, b & 0xFFFFFFFF, k))
+
+        return pc
+
+    def _disentangle_nodes(self, pc, min_pairs: int,
+                           cross_max: int) -> int:
+        """2-in/2-out repeat nodes (mirror of clean.disentangle's node
+        loop): the node owner holds the 4-port registry, FAR_INFO gives
+        it the far codes, and the (replicated) pair store supplies the
+        evidence; a unique in->out matching becomes TWO merges issued as
+        one transaction — per-contig min-code voting (the collapse
+        round's conflict rule) gates both merges together so a contig
+        joins at most one transaction per pass."""
+        n = self.n
+        far = self._far_info()
+        props: Dict[int, Tuple] = {}
+        for d in range(n):
+            for code, dslot in self.shards[d].ports.items():
+                if len(dslot) != 4:
+                    continue
+                rs = sorted(s for s in dslot if s < 4)
+                ls = sorted(s for s in dslot if s >= 4)
+                if len(rs) != 2 or len(ls) != 2:
+                    continue
+                if len({dslot[s][0] for s in rs + ls}) != 4:
+                    continue
+                f = {s: far[d].get(code, {}).get(s, -1) for s in rs + ls}
+                c11 = pc(f[ls[0]], f[rs[0]], code)
+                c12 = pc(f[ls[0]], f[rs[1]], code)
+                c21 = pc(f[ls[1]], f[rs[0]], code)
+                c22 = pc(f[ls[1]], f[rs[1]], code)
+                if (c11 >= min_pairs and c22 >= min_pairs
+                        and c12 <= cross_max and c21 <= cross_max):
+                    pairs = [(rs[0], ls[0]), (rs[1], ls[1])]
+                elif (c12 >= min_pairs and c21 >= min_pairs
+                        and c11 <= cross_max and c22 <= cross_max):
+                    pairs = [(rs[1], ls[0]), (rs[0], ls[1])]
+                else:
+                    continue
+                props[code] = (d, pairs,
+                               {s: dslot[s][0] for s in rs + ls})
+        # per-contig voting (tag 14 to each contig owner; acceptance
+        # computed host-globally like _collapse_round's)
+        out = self._empty_out()
+        for code, (d, pairs, gids) in props.items():
+            hi, lo = _split64(code)
+            for slot, gid in gids.items():
+                own = gid >> _GID_SHIFT
+                out[d][own].append((14, hi, lo, slot, gid >> 32,
+                                    gid & 0xFFFFFFFF))
+        inbox = self.ex.exchange(out)
+        best: Dict[int, int] = {}
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    _, hi, lo, slot, g1, g2 = m[:6]
+                    gid = _u64((g1, g2))
+                    if gid >> _GID_SHIFT != d \
+                            or gid not in self.shards[d].contigs:
+                        continue
+                    code = _u64((hi, lo))
+                    if gid not in best or code < best[gid]:
+                        best[gid] = code
+        resolved = 0
+        for code in sorted(props):
+            d, pairs, gids = props[code]
+            if any(best.get(gid) != code for gid in gids.values()):
+                continue
+            dslot = self.shards[d].ports.get(code, {})
+            if any(dslot.get(s, (None,))[0] != g
+                   for s, g in gids.items()):
+                continue
+            ok = True
+            for rslot, lslot in pairs:
+                gr = dslot[rslot][0]
+                gl = dslot[lslot][0]
+                ok = self._merge(d, code, rslot, gr, lslot, gl) and ok
+            resolved += 1
+        return resolved
+
+    def _disentangle_chains(self, pc, min_pairs: int,
+                            cross_max: int) -> int:
+        """Repeat CONTIGS between two 3-port nodes (mirror of
+        clean._disentangle_chains): each 3-port node owner sends its
+        two flank ports (tag 15, with far codes and end orientations)
+        to the lone-face contig's owner; that owner joins the two
+        halves, evaluates the pair evidence, and splices A-R-B / C-R-D,
+        pulling the flank payloads on the host object plane (the same
+        discipline as _merge) and re-registering the new far ports
+        (tag 6). Greedy host-global acceptance in gid order stands in
+        for the sequential pass's live()-order iteration."""
+        n, k = self.n, self.k
+        far = self._far_info()
+        out = self._empty_out()
+        for d in range(n):
+            for code, dslot in self.shards[d].ports.items():
+                if len(dslot) != 3:
+                    continue
+                rface = sorted(s for s in dslot if s < 4)
+                lface = sorted(s for s in dslot if s >= 4)
+                lone, flanks = (rface, lface) if len(rface) == 1 \
+                    else (lface, rface)
+                if len(lone) != 1 or len(flanks) != 2:
+                    continue
+                rgid, rend = dslot[lone[0]]
+                hi, lo = _split64(code)
+                own = rgid >> _GID_SHIFT
+                for fs in flanks:
+                    fgid, fend = dslot[fs]
+                    fcode = far[d].get(code, {}).get(fs, -1)
+                    fhi, flo = _split64(fcode if fcode >= 0 else 0)
+                    flags = ((1 if fcode >= 0 else 0)
+                             | ((fend == "L") << 1)
+                             | ((rend == "L") << 2))
+                    out[d][own].append((15, rgid >> 32,
+                                        rgid & 0xFFFFFFFF, hi, lo,
+                                        lone[0], fgid >> 32,
+                                        fgid & 0xFFFFFFFF, fs, fhi,
+                                        flo, flags))
+        inbox = self.ex.exchange(out)
+        # R owners: join halves per R gid
+        halves: Dict[int, Dict[int, List[Tuple]]] = {}
+        for d in range(n):
+            for src in range(n):
+                for m in inbox[d][src]:
+                    (_, rg1, rg2, hi, lo, rslot, fg1, fg2, fs, fhi,
+                     flo, flags) = m[:12]
+                    rgid = _u64((rg1, rg2))
+                    if rgid >> _GID_SHIFT != d:
+                        continue
+                    halves.setdefault(rgid, {}).setdefault(
+                        _u64((hi, lo)), []).append(
+                        (fs, _u64((fg1, fg2)),
+                         _u64((fhi, flo)) if flags & 1 else -1,
+                         "L" if flags & 2 else "R", rslot,
+                         "L" if flags & 4 else "R"))
+        resolved = 0
+        touched: set = set()
+        for rgid in sorted(halves):
+            d = rgid >> _GID_SHIFT
+            R = self.shards[d].contigs.get(rgid)
+            if R is None or R.circular or R.left is None \
+                    or R.right is None or rgid in touched:
+                continue
+            x = _node_code(R.left.node, k)
+            y = _node_code(R.right.node, k)
+            if x == y or x not in halves[rgid] or y not in halves[rgid]:
+                continue
+            hx = sorted(halves[rgid][x])
+            hy = sorted(halves[rgid][y])
+            if len(hx) != 2 or len(hy) != 2:
+                continue
+            (sa, ga, fa, ea, _, _), (sc, gc, fc, ec, _, _) = hx
+            (sb, gb, fb, eb, _, _), (sd, gd, fd, ed, _, _) = hy
+            ids = {rgid, ga, gc, gb, gd}
+            if len(ids) != 5 or ids & touched:
+                continue
+            ab = pc(fa, fb, x, y)
+            ad = pc(fa, fd, x, y)
+            cb = pc(fc, fb, x, y)
+            cd = pc(fc, fd, x, y)
+            if ab >= min_pairs and cd >= min_pairs \
+                    and ad <= cross_max and cb <= cross_max:
+                matching = [((sa, ga, ea), (sb, gb, eb)),
+                            ((sc, gc, ec), (sd, gd, ed))]
+            elif ad >= min_pairs and cb >= min_pairs \
+                    and ab <= cross_max and cd <= cross_max:
+                matching = [((sa, ga, ea), (sd, gd, ed)),
+                            ((sc, gc, ec), (sb, gb, eb))]
+            else:
+                continue
+            if self._splice_chain(d, rgid, R, x, y, matching):
+                touched |= ids
+                resolved += 1
+        return resolved
+
+    def _splice_chain(self, d: int, rgid: int, R: Contig, x: int,
+                      y: int, matching) -> bool:
+        """Execute one A-R-B / C-R-D chain splice on R's owner shard."""
+        k = self.k
+        # orient R with x at its left end (R.left is the x End by
+        # construction in _disentangle_chains)
+        r_seq = R.seq
+        new_contigs = []
+        pulls = []
+        for (sa, ga, ea), (sb, gb, eb) in matching:
+            ca = self._peek_contig(ga)
+            cb2 = self._peek_contig(gb)
+            if ca is None or cb2 is None:
+                return False
+            a_seq = ca.seq if ea == "R" else revcomp_seq(ca.seq)
+            a_far = ca.left if ea == "R" else ca.right
+            b_seq = cb2.seq if eb == "L" else revcomp_seq(cb2.seq)
+            b_far = cb2.right if eb == "L" else cb2.left
+            if a_seq[-k:] != r_seq[:k] or r_seq[-k:] != b_seq[:k]:
+                return False
+            n_a = len(ca.seq) - k + 1
+            n_b = len(cb2.seq) - k + 1
+            n_r = len(R.seq) - k + 1
+            cov = (ca.cov * n_a + cb2.cov * n_b + R.cov * n_r) / (
+                n_a + n_b + n_r)
+            new_contigs.append(Contig(seq=a_seq + r_seq[k:] + b_seq[k:],
+                                      cov=cov, left=a_far, right=b_far))
+            pulls.extend((ga, gb))
+        # commit: pull + delete the five old contigs and their ports
+        out = self._empty_out()
+        for gid in pulls:
+            c = self._take_contig(gid, d)
+            self._drop_ports_msgs(gid, c, out)
+        c = self.shards[d].contigs.pop(rgid)
+        self._drop_ports_msgs(rgid, c, out)
+        self._apply_port_dels(self.ex.exchange(out))
+        out = self._empty_out()
+        for nc in new_contigs:
+            gid = self._new_gid(d)
+            self.shards[d].contigs[gid] = nc
+            for e, is_l in ((nc.left, 1), (nc.right, 0)):
+                if e is None:
+                    continue
+                fcode = _node_code(e.node, k)
+                fown = _owner_of_code(fcode, self.n)
+                hi, lo = _split64(fcode)
+                out[d][fown].append((6, hi, lo, e.slot, gid >> 32,
+                                     gid & 0xFFFFFFFF, is_l))
+        inbox = self.ex.exchange(out)
+        for dd in range(self.n):
+            for src in range(self.n):
+                for m in inbox[dd][src]:
+                    _, hi, lo, slot, g1, g2, is_l = m[:7]
+                    self.shards[dd].ports.setdefault(
+                        _u64((hi, lo)), {})[slot] = (
+                        _u64((g1, g2)), "L" if is_l else "R")
+        return True
+
+    def _peek_contig(self, gid: int) -> Optional[Contig]:
+        return self.shards[gid >> _GID_SHIFT].contigs.get(gid)
+
+    def disentangle(self, pair_count, min_pairs: int = 2,
+                    cross_max: int = 0) -> int:
+        """Partitioned mirror of clean.disentangle (nodes then chains).
+        pair_count: the sequential (kmer_str, kmer_str) -> count
+        callable; the pair store is replicated host state in this
+        prototype, matching its host-dict form in the pipeline."""
+        pc = self._pc_codes(pair_count)
+        done = self._disentangle_nodes(pc, min_pairs, cross_max)
+        done += self._disentangle_chains(pc, min_pairs, cross_max)
+        return done
+
     # ---- driver ----------------------------------------------------------
     def clean(self, max_tip_len: int = 200, min_cov: float = 2.5,
               do_tips: bool = True, do_low_cov: bool = True,
-              max_rounds: int = 64, bubble_ratio: float = 0.25) -> dict:
+              max_rounds: int = 64, bubble_ratio: float = 0.25,
+              pair_count=None, min_pairs: int = 2) -> dict:
         rounds = 0
-        for _ in range(max_rounds):
-            ch = self.round(max_tip_len, min_cov, do_tips, do_low_cov,
-                            bubble_ratio)
-            rounds += 1
-            # global fixpoint: `ch` is already the cross-shard total
-            # (the host loop IS the pmax here — every shard contributed)
-            if ch == 0:
-                break
+        disentangled = 0
+
+        def fixpoint():
+            nonlocal rounds
+            for _ in range(max_rounds):
+                ch = self.round(max_tip_len, min_cov, do_tips,
+                                do_low_cov, bubble_ratio)
+                rounds += 1
+                # global fixpoint: `ch` is already the cross-shard total
+                # (the host loop IS the pmax — every shard contributed)
+                if ch == 0:
+                    break
+
+        fixpoint()
+        if pair_count is not None:
+            disentangled = self.disentangle(pair_count,
+                                            min_pairs=min_pairs)
+            if disentangled:
+                fixpoint()
         return {"rounds": rounds, "exchanges": self.ex.rounds,
                 "bubbles": self.bubbles, "chimeric": self.chimeric,
                 "repaired": self.repaired,
+                "disentangled": disentangled,
                 "collective_bytes": self.ex.bytes,
                 "payload_bytes": self.payload_bytes}
 

@@ -670,18 +670,21 @@ class ShardedPipeline:
         cfg = self.cfg
         if cfg.no_cleaning:
             return g
-        if cfg.distributed_clean and not cfg.paired_ends:
+        if cfg.distributed_clean:
             # halo-exchange partitioned cleaning (PARITY §config5 item
             # 3): per-shard delete/collapse rounds, boundary updates on
             # the mesh all_to_all; same contig set as clean()
-            # (tests/dist/test_halo.py). Paired-end disentangle still
-            # runs single-host, so pairs fall through to clean().
+            # (tests/dist/test_halo.py). Paired-end disentangle runs
+            # in-protocol too (VERDICT r4 #7): FAR_INFO/DMERGE/
+            # CHAIN_HALF tags route pair evidence to the owner shards.
             from faucet_tpu.dist.halo import PartitionedCleaner
 
             pc = PartitionedCleaner(g, cfg.n_shards, mesh=self.mesh)
             st = pc.clean(
                 max_tip_len=int(cfg.tip_len_factor * cfg.max_read_length),
-                min_cov=cfg.min_contig_cov)
+                min_cov=cfg.min_contig_cov,
+                pair_count=(self._pair_count_fn()
+                            if cfg.paired_ends else None))
             for k, v in st.items():
                 self.metrics.add(f"clean_{k}", v)
             return pc.result()
