@@ -335,6 +335,11 @@ class ShardedStream:
         rep = P(AXIS)  # per-shard scalar lanes
         self.use_nodes = cfg.use_node_junctions
 
+        # buffer donation mirrors pipeline.Pipeline's (the callers
+        # always replace their state references with the returned
+        # tables): without it every batch copies the table-capacity
+        # arrays — the copy grows with the genome-sized capacities
+        # while batch count grows with reads
         if self.use_nodes:
             self._load = jax.jit(shard_map(
                 partial(_load_local_nodes, cfg_local=self.cfg_local,
@@ -342,7 +347,7 @@ class ShardedStream:
                 mesh=mesh,
                 in_specs=(state_spec, state_spec, rows, rows),
                 out_specs=(state_spec, state_spec, rep),
-                check_vma=False))
+                check_vma=False), donate_argnums=(0, 1))
             self._scan = jax.jit(shard_map(
                 partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
                         n_shards=S, shard_bits=sb),
@@ -351,7 +356,7 @@ class ShardedStream:
                           state_spec),
                 out_specs=(state_spec, state_spec, rep, rep, rows, rows,
                            rows, rep),
-                check_vma=False))
+                check_vma=False), donate_argnums=(1, 2))
         else:
             self._load = jax.jit(shard_map(
                 partial(_load_local, cfg_local=self.cfg_local, n_shards=S,
@@ -359,7 +364,7 @@ class ShardedStream:
                 mesh=mesh,
                 in_specs=(state_spec, rows, rows),
                 out_specs=(state_spec, rep),
-                check_vma=False))
+                check_vma=False), donate_argnums=(0,))
             self._scan = jax.jit(shard_map(
                 partial(_scan_local, cfg=cfg, cfg_local=self.cfg_local,
                         n_shards=S, shard_bits=sb),

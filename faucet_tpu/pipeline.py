@@ -95,7 +95,16 @@ class Pipeline:
         self._load_nodes_s = jax.jit(SC.load_batch_nodes_s,
                                      static_argnames=("cfg",),
                                      donate_argnums=(0, 1))
-        self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",))
+        # donate the junction/sink tables and the spool: without
+        # donation every batch COPIES table-capacity-sized arrays
+        # (sinks are sized 4x the k-mer estimate, so the per-batch copy
+        # grows with GENOME while batch count grows with READS — the
+        # measured scan-phase superlinearity at 2/4/8 Mbp was 30/71/
+        # 224 s). The caller always replaces its references with the
+        # returned tables (ScanResult), so the old buffers are dead.
+        self._scan = jax.jit(SC.scan_batch, static_argnames=("cfg",),
+                             donate_argnums=(1, 2),
+                             donate_argnames=("jspool",))
         self._pairs = jax.jit(SC.capture_pairs,
                       static_argnames=("cfg",),
                       donate_argnums=(0,))
@@ -103,7 +112,8 @@ class Pipeline:
         # scan batches append; phase ends flush (core/scan.JSpool)
         self.jspool = (SC.make_jspool(cfg)
                        if cfg.spool_junctions and not cfg.wide else None)
-        self._flush = jax.jit(SC.spool_flush, static_argnames=("cfg",))
+        self._flush = jax.jit(SC.spool_flush, static_argnames=("cfg",),
+                              donate_argnums=(0, 1))
 
     def flush_junctions(self):
         """Drain the junction spool into the table (idempotent; called
