@@ -100,21 +100,17 @@ def walk_waves_routed(mesh, cascade, junctions, fr, n_rounds: int,
         # capacity sizing buys; unsent is 0 by construction): per step a
         # lane-sharded frontier of Wl lanes issues one 4Wl-lane solid
         # query + one Wl-lane junction query; each inter-round resolve
-        # issues the candidate probe (4Wl) plus fp_lookahead steps of
-        # child (16Wl) + grandchild (64Wl) probes. Each routed lane
-        # moves 8B of key out and 1B of answer back, times n_shards*cap
-        # buffers.
+        # gathers at most RESOLVE_CAP lanes (walk.resolve_ambiguous lane
+        # compaction) and issues the candidate probe (4C) plus
+        # fp_lookahead steps of beam-child probes (64C: 4 candidates x
+        # 4-slot beam x 4 children). Each routed lane moves 8B of key
+        # out and 1B of answer back, times n_shards*cap buffers.
         Wl = fr_l.active.shape[0]
+        C = min(Wl, W.RESOLVE_CAP)
         cap = lambda m: _cap_for(m, n)
         step_b = n * (cap(4 * Wl) + cap(Wl)) * 9
         L = int(cfg.fp_lookahead)
-        if not cfg.break_on_deep_tie:
-            # resolve_ambiguous deepens the lookahead to k+4 so tie
-            # arbitration can observe bubble-arm rejoining — mirror it
-            # in the byte accounting
-            L = max(L, cfg.size_kmer + 4)
-        res_b = n * (cap(4 * Wl)
-                     + L * (cap(16 * Wl) + cap(64 * Wl))) * 9
+        res_b = n * (cap(4 * C) + L * cap(64 * C)) * 9
         # per-round byte constant is a Python int (can exceed 2^31 at
         # large Wl — ADVICE r3); accumulate in float32 so the metric
         # neither overflows nor fails to trace (x64 is disabled)

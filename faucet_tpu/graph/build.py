@@ -370,7 +370,11 @@ class GraphBuilder:
                 if orig[i] < n:
                     parts[orig[i]].append(segs[i])
             total += rr * ss
-            act = np.asarray(fetch(fr.active))
+            # pending = active or not-yet-judged ambiguous retirees
+            # (the capped resolver may re-arm them next call) — both
+            # must survive the break check AND compaction
+            act = np.asarray(fetch(fr.active)) | (
+                np.asarray(fetch(fr.end_kind)) == W.END_AMBIG)
             live = int(act.sum())
             if live == 0:
                 break
@@ -426,6 +430,11 @@ class GraphBuilder:
         by_key: Dict[str, Contig] = {}
 
         # ---- pass 1: walks from every covered junction slot -------------
+        # (a two-stage edge-dedupe — walk right-face seeds, skip the
+        # left-face seeds whose port a stage-A walk entered — was
+        # measured SLOWER at 2 Mbp: the long-walk wave tail dominates
+        # and gets paid once per stage, while lane count is not the
+        # cost driver under frontier compaction)
         rows, slots = np.nonzero(cov8 > 0)
         if len(rows):
             dirs = (slots >= 4).astype(np.int32)
@@ -442,19 +451,29 @@ class GraphBuilder:
                     by_key.setdefault(c.canonical_seq(), c)
 
         # visited k-mers as uint64 table keys in sorted chunks — no
-        # Python string churn at genome scale (VERDICT r1 #4). Chunks
-        # consolidate once they pile up: visited_mask runs per pass-2
-        # candidate, so an unbounded chunk list is O(contigs^2) in
-        # searchsorted calls (measured 60 s of a 120 s build at 0.5 Mbp)
+        # Python string churn at genome scale (VERDICT r1 #4). Chunk
+        # growth is LSM-style: adjacent chunks within 2x size merge on
+        # append, so the chunk count stays O(log N) for visited_mask's
+        # per-chunk searchsorted while TOTAL merge work is O(N log N).
+        # (The previous flat consolidate-every-48 rewrote the whole
+        # visited set ~contigs/48 times: 13.6 s of a 70 s 2 Mbp build,
+        # and the dominant superlinear term at 8 Mbp.)
         chunks: List[np.ndarray] = []
 
         def mark_visited(c: Contig):
             src = c.seq + (c.seq[: k - 1] if c.circular else "")
             w = self.codec_s.key_windows(src)
-            if len(w):
-                chunks.append(np.sort(w))
-            if len(chunks) > 48:
-                chunks[:] = [np.sort(np.concatenate(chunks))]
+            if not len(w):
+                return
+            w.sort()
+            chunks.append(w)
+            while len(chunks) >= 2 and \
+                    len(chunks[-2]) <= 2 * len(chunks[-1]):
+                b = chunks.pop()
+                a = chunks.pop()
+                m = np.concatenate([a, b])
+                m.sort()
+                chunks.append(m)
 
         def visited_mask(keys: np.ndarray) -> np.ndarray:
             hit = np.zeros(len(keys), bool)
@@ -474,9 +493,8 @@ class GraphBuilder:
         chunk = 4096
         pend = np.arange(n_s)[~np.isin(skeys_s, jset)]
         while len(pend):
-            # merge visited chunks once per round, filter pend in bulk
-            if len(chunks) > 1:
-                chunks[:] = [np.sort(np.concatenate(chunks))]
+            # filter pend in bulk (the chunk list stays O(log N) under
+            # the LSM merge — no per-round full consolidation needed)
             live = ~visited_mask(skeys_s[pend])
             pend = pend[live]
             if len(pend) and not cfg.wide:

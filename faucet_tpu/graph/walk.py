@@ -32,6 +32,29 @@ I32 = jnp.int32
 
 RUNNING, END_JUNCTION, END_DEAD, END_CIRCULAR, END_AMBIG = range(5)
 
+# resolver lane cap: ambiguity events per round are sparse (error/fp
+# branches), so the resolver gathers at most this many lanes; the rest
+# stay END_AMBIG ("pending") and are picked up next round
+RESOLVE_CAP = 1024
+
+
+def _scatter_resolved(fr, lanes, amb, resolved, forced_new):
+    """Scatter a compacted resolver verdict back to the full frontier:
+    resolved lanes re-arm with their forced base; processed-but-
+    unresolved lanes retire END_DEAD (a repeat resolve is deterministic
+    rework — each AMBIG event is judged exactly once)."""
+    n = fr.forced.shape[0]
+    res_full = jnp.zeros((n,), bool).at[lanes].set(resolved)
+    proc_full = jnp.zeros((n,), bool).at[lanes].set(amb)
+    forced_full = jnp.zeros_like(fr.forced).at[lanes].set(forced_new)
+    return fr._replace(
+        forced=jnp.where(res_full, forced_full, fr.forced),
+        active=fr.active | res_full,
+        end_kind=jnp.where(
+            res_full, RUNNING,
+            jnp.where(proc_full & (fr.end_kind == END_AMBIG),
+                      END_DEAD, fr.end_kind)))
+
 
 class Frontier(NamedTuple):
     fhi: jnp.ndarray   # current travel-frame forward code [W]
@@ -157,17 +180,31 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
     P ~ 4*fp_rate, so depth d kills fakes with P ~ (4*fp)^d while the
     real path always continues (unless the path genuinely ends within d
     — then no candidate survives and the dist/cap trim applies, same as
-    a dead end). Walks resume with the surviving base forced. Runs
-    between rounds over the whole frontier; all probes are masked to the
-    ambiguous lanes (the probe kernel skips masked lanes), and the 4
-    candidates ride one batched probe per lookahead step."""
+    a dead end). Walks resume with the surviving base forced.
+
+    Lane compaction (round 5): the resolver runs on a gathered frame of
+    at most RESOLVE_CAP ambiguous lanes instead of the whole frontier —
+    on backends where masked probes still compute (CPU; the fallback
+    gather path), resolving over the full grid was ~35% of a 2 Mbp
+    graph build. Each AMBIG retirement is processed EXACTLY ONCE
+    (deterministic, so the former every-round reprocessing was pure
+    rework): processed-but-unresolved lanes become END_DEAD (downstream
+    treats DEAD and AMBIG identically — graph/build._pass1_contig), and
+    still-unprocessed lanes stay END_AMBIG, which walk_waves and the
+    wave driver treat as pending work."""
     k = cfg.size_kmer
     if solid_fn is None:
         solid_fn = lambda chi, clo, m: BL.cascade_solid(cascade, chi,
                                                         clo, m, cfg)
-    amb = (fr.end_kind == END_AMBIG) & ~fr.active
-    # candidate frame [4, W]: all 4 right extensions advanced in lockstep
-    exts = [KM.right_ext(fr.fhi, fr.flo, fr.rhi, fr.rlo, np.uint32(b), k)
+    amb_all = (fr.end_kind == END_AMBIG) & ~fr.active
+    W_ = fr.forced.shape[0]
+    CAP = int(min(W_, RESOLVE_CAP))
+    _, lanes = jax.lax.top_k(amb_all.astype(I32), CAP)
+    amb = amb_all[lanes]
+    fhi, flo = fr.fhi[lanes], fr.flo[lanes]
+    rhi, rlo = fr.rhi[lanes], fr.rlo[lanes]
+    # candidate frame [4, CAP]: the 4 right extensions in lockstep
+    exts = [KM.right_ext(fhi, flo, rhi, rlo, np.uint32(b), k)
             for b in range(4)]
     cand = tuple(jnp.stack([e[j] for e in exts]) for j in range(4))
     chi, clo, _ = KM.canon_of(*cand)
@@ -217,7 +254,7 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
         return tuple(sel(o) for o in opt), sel(s_opt)
 
     cur, alive = jax.lax.fori_loop(0, look, la_step, (cur, alive))
-    strong4 = (first & jnp.any(alive, axis=1)).T   # [W, 4]
+    strong4 = (first & jnp.any(alive, axis=1)).T   # [CAP, 4]
     scnt = jnp.sum(strong4, axis=-1)
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
@@ -237,12 +274,8 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
         # break, not a node boundary; see tests/golden/
         # test_repeat_regression.py for the planted-repeat net.
         resolved = resolved | (amb & (scnt >= 2))
-    return fr._replace(
-        forced=jnp.where(resolved,
-                         jnp.argmax(strong4, axis=-1).astype(I32),
-                         fr.forced),
-        active=fr.active | resolved,
-        end_kind=jnp.where(resolved, RUNNING, fr.end_kind))
+    return _scatter_resolved(fr, lanes, amb, resolved,
+                             jnp.argmax(strong4, axis=-1).astype(I32))
 
 
 def walk_waves(cascade: BL.Cascade, junctions: T.Table, fr, n_rounds: int,
@@ -281,15 +314,21 @@ def walk_waves(cascade: BL.Cascade, junctions: T.Table, fr, n_rounds: int,
         r, fr, _, go = carry
         return (r < n_rounds) & go
 
+    def pending(fr):
+        # active lanes OR ambiguous retirees the capped resolver has
+        # not judged yet (resolve_ambiguous processes <= RESOLVE_CAP
+        # per round; unprocessed lanes keep END_AMBIG)
+        return fr.active | (fr.end_kind == END_AMBIG)
+
     def body(carry):
         r, fr, bases, _ = carry
         fr, b = walk_fn(cascade, junctions, fr, n_steps=n_steps, cfg=cfg)
         fr = resolve_fn(cascade, fr, cfg)
         bases = jax.lax.dynamic_update_slice(bases, b, (0, r * n_steps))
-        return (r + 1, fr, bases, any_fn(fr.active))
+        return (r + 1, fr, bases, any_fn(pending(fr)))
 
     r, fr, bases, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), fr, bases0, any_fn(fr.active)))
+        cond, body, (jnp.int32(0), fr, bases0, any_fn(pending(fr))))
     return fr, bases, r
 
 
@@ -383,13 +422,20 @@ def walk_round_wide(cascade: BL.Cascade, junctions: T.Table,
 
 def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
                            ) -> FrontierW:
-    """Wide-code twin of resolve_ambiguous (same deep greedy lookahead)."""
+    """Wide-code twin of resolve_ambiguous (same beam lookahead and
+    lane compaction)."""
     from faucet_tpu.core import wide as WD
 
     k = cfg.size_kmer
-    amb = (fr.end_kind == END_AMBIG) & ~fr.active
-    # candidate frame: word tuples stacked to [4, W]
-    exts = [WD.right_ext_wide(fr.fwd, fr.rc, np.uint32(b), k)
+    amb_all = (fr.end_kind == END_AMBIG) & ~fr.active
+    W_ = fr.forced.shape[0]
+    CAP = int(min(W_, RESOLVE_CAP))
+    _, lanes = jax.lax.top_k(amb_all.astype(I32), CAP)
+    amb = amb_all[lanes]
+    cfwd = tuple(w[lanes] for w in fr.fwd)
+    crc = tuple(w[lanes] for w in fr.rc)
+    # candidate frame: word tuples stacked to [4, CAP]
+    exts = [WD.right_ext_wide(cfwd, crc, np.uint32(b), k)
             for b in range(4)]
     fwd = tuple(jnp.stack([e[0][j] for e in exts]) for j in range(4))
     rc = tuple(jnp.stack([e[1][j] for e in exts]) for j in range(4))
@@ -436,9 +482,5 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
     resolved = amb & (scnt == 1)
     if not cfg.break_on_deep_tie:
         resolved = resolved | (amb & (scnt >= 2))  # see narrow twin
-    return fr._replace(
-        forced=jnp.where(resolved,
-                         jnp.argmax(strong4, axis=-1).astype(I32),
-                         fr.forced),
-        active=fr.active | resolved,
-        end_kind=jnp.where(resolved, RUNNING, fr.end_kind))
+    return _scatter_resolved(fr, lanes, amb, resolved,
+                             jnp.argmax(strong4, axis=-1).astype(I32))
