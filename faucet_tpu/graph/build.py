@@ -379,8 +379,12 @@ class GraphBuilder:
             if live == 0:
                 break
             cur = act.shape[0]
-            if live <= cur // 4 and cur > 512:
-                newp = _pad_pow2(live)
+            if live <= cur // 4 and cur > 64:
+                # floor 64 (was 512): the longest-walk TAIL dominates
+                # device time — ~100 wave calls of 2048 steps run after
+                # the frontier drains to a handful of genome-length
+                # walks, and per-call cost is grid-width-proportional
+                newp = _pad_pow2(live, lo=64)
                 capture(fr, ~act)
                 idx = np.nonzero(act)[0]
                 fr = self._gather_frontier(fr, idx, newp)
