@@ -106,7 +106,7 @@ def walk_waves_routed(mesh, cascade, junctions, fr, n_rounds: int,
         # 4-slot beam x 4 children). Each routed lane moves 8B of key
         # out and 1B of answer back, times n_shards*cap buffers.
         Wl = fr_l.active.shape[0]
-        C = min(Wl, W.RESOLVE_CAP)
+        C = W._resolve_cap(Wl)
         cap = lambda m: _cap_for(m, n)
         step_b = n * (cap(4 * Wl) + cap(Wl)) * 9
         L = int(cfg.fp_lookahead)

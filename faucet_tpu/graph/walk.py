@@ -32,10 +32,19 @@ I32 = jnp.int32
 
 RUNNING, END_JUNCTION, END_DEAD, END_CIRCULAR, END_AMBIG = range(5)
 
-# resolver lane cap: ambiguity events per round are sparse (error/fp
-# branches), so the resolver gathers at most this many lanes; the rest
-# stay END_AMBIG ("pending") and are picked up next round
+# resolver lane cap floor: ambiguity events per round are sparse
+# (error/fp branches), so the resolver gathers a bounded lane set; the
+# rest stay END_AMBIG ("pending") and are picked up next round. The
+# effective cap scales with the frontier (_resolve_cap) — a fixed 1024
+# drain rate let tens of thousands of simultaneous early retirements
+# pool as pending at 8 Mbp scale, blocking frontier compaction and
+# dragging the full grid through extra wave calls (906 s of a measured
+# 8 Mbp pass-1).
 RESOLVE_CAP = 1024
+
+
+def _resolve_cap(n: int) -> int:
+    return int(min(n, max(RESOLVE_CAP, n // 8)))
 
 
 def _scatter_resolved(fr, lanes, amb, resolved, forced_new):
@@ -198,7 +207,7 @@ def resolve_ambiguous(cascade: BL.Cascade, fr: Frontier, cfg,
                                                         clo, m, cfg)
     amb_all = (fr.end_kind == END_AMBIG) & ~fr.active
     W_ = fr.forced.shape[0]
-    CAP = int(min(W_, RESOLVE_CAP))
+    CAP = _resolve_cap(W_)
     _, lanes = jax.lax.top_k(amb_all.astype(I32), CAP)
     amb = amb_all[lanes]
     fhi, flo = fr.fhi[lanes], fr.flo[lanes]
@@ -429,7 +438,7 @@ def resolve_ambiguous_wide(cascade: BL.Cascade, fr: FrontierW, cfg
     k = cfg.size_kmer
     amb_all = (fr.end_kind == END_AMBIG) & ~fr.active
     W_ = fr.forced.shape[0]
-    CAP = int(min(W_, RESOLVE_CAP))
+    CAP = _resolve_cap(W_)
     _, lanes = jax.lax.top_k(amb_all.astype(I32), CAP)
     amb = amb_all[lanes]
     cfwd = tuple(w[lanes] for w in fr.fwd)
