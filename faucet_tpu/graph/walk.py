@@ -10,9 +10,12 @@ per-walk masks retiring finished lanes. Rounds of a static step count keep
 shapes fixed; the host loops rounds until the frontier drains.
 
 End kinds: 0 running, 1 hit junction, 2 dead end (no solid extension),
-3 circular (returned to start k-mer), 4 ambiguous (>=2 solid extensions at
-a non-junction — only reachable via Bloom false positives; treated as a
-dead end and trimmed by dist).
+3 circular (returned to start k-mer), 4 ambiguous (>=2 solid extensions
+at a non-junction: an error/fp branch or a shadow-missed junction).
+AMBIG is transient — the capped resolver (resolve_ambiguous) judges
+each such retirement exactly once, re-arming the lane or converting it
+to END_DEAD; unjudged AMBIG lanes count as pending work for the wave
+loop and the compaction driver.
 """
 from __future__ import annotations
 
